@@ -1,0 +1,30 @@
+"""Test harness: force an 8-device virtual CPU mesh before JAX initializes.
+
+This is the TPU-native stand-in for multi-chip testing (SURVEY.md §4): all
+sharding/collective tests run against ``--xla_force_host_platform_device_count=8``
+on CPU, mirroring how the driver dry-runs the multi-chip path.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+REFERENCE_ROOT = "/root/reference"
+
+
+def require_reference():
+    if not os.path.isdir(REFERENCE_ROOT):
+        pytest.skip("reference checkout not available")
+    return REFERENCE_ROOT
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(0)
