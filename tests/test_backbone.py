@@ -1,0 +1,109 @@
+"""Backbone/FPN geometry + numerical parity against torch oracles."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+import torch
+
+from tests.torch_backbone_oracle import TFPN, TResNet
+from transfusion_tpu.models.fpn import FPN
+from transfusion_tpu.models.resnet import ResNet
+
+
+def _copy_convnorm(tp, tmod):
+    """Fill flax ConvNorm param dict from a torch TConvNorm (in place)."""
+    tp["conv"]["kernel"] = jnp.asarray(tmod.conv.weight.detach().numpy().transpose(2, 3, 1, 0))
+    tp["bn"]["scale"] = jnp.asarray(tmod.bn.weight.numpy())
+    tp["bn"]["bias"] = jnp.asarray(tmod.bn.bias.numpy())
+    tp["bn"]["mean"] = jnp.asarray(tmod.bn.running_mean.numpy())
+    tp["bn"]["var"] = jnp.asarray(tmod.bn.running_var.numpy())
+
+
+@pytest.mark.parametrize("stride_in_1x1", [False, True])
+def test_resnet_parity_small(rng, stride_in_1x1):
+    stage_sizes = (2, 2)
+    tmodel = TResNet(stage_sizes, stride_in_1x1).eval()
+    model = ResNet(stage_sizes=stage_sizes, stride_in_1x1=stride_in_1x1)
+
+    x = rng.normal(0, 1, (2, 3, 65, 97)).astype(np.float32)  # odd sizes on purpose
+    params = model.init(jax.random.key(0), jnp.asarray(x.transpose(0, 2, 3, 1)))["params"]
+
+    _copy_convnorm(params["stem"], tmodel.stem)
+    for stage, blocks in enumerate(stage_sizes):
+        for b in range(blocks):
+            fb = params[f"layer{stage + 1}_{b}"]
+            tb = tmodel.stages[stage][b]
+            _copy_convnorm(fb["conv1"], tb.conv1)
+            _copy_convnorm(fb["conv2"], tb.conv2)
+            _copy_convnorm(fb["conv3"], tb.conv3)
+            if tb.downsample is not None:
+                _copy_convnorm(fb["downsample"], tb.downsample)
+
+    with torch.no_grad():
+        ref = {k: v.numpy() for k, v in tmodel(torch.from_numpy(x)).items()}
+    ours = model.apply({"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1)))
+
+    for k in ref:
+        got = np.asarray(ours[k]).transpose(0, 3, 1, 2)
+        assert got.shape == ref[k].shape, (k, got.shape, ref[k].shape)
+        np.testing.assert_allclose(got, ref[k], rtol=1e-3, atol=1e-3)
+
+
+def test_fpn_parity(rng):
+    chans = [64, 128, 256]
+    tfpn = TFPN(chans, out_channels=32).eval()
+    fpn = FPN(out_channels=32)
+
+    # Odd spatial sizes exercise the non-2x nearest-resize path.
+    feats_t = {
+        "0": rng.normal(0, 1, (1, 64, 25, 33)).astype(np.float32),
+        "1": rng.normal(0, 1, (1, 128, 13, 17)).astype(np.float32),
+        "2": rng.normal(0, 1, (1, 256, 7, 9)).astype(np.float32),
+    }
+    feats_j = {k: jnp.asarray(v.transpose(0, 2, 3, 1)) for k, v in feats_t.items()}
+    params = fpn.init(jax.random.key(0), feats_j)["params"]
+    for i, k in enumerate(["0", "1", "2"]):
+        params[f"inner_{k}"]["kernel"] = jnp.asarray(tfpn.inner[i].weight.detach().numpy().transpose(2, 3, 1, 0))
+        params[f"inner_{k}"]["bias"] = jnp.asarray(tfpn.inner[i].bias.detach().numpy())
+        params[f"layer_{k}"]["kernel"] = jnp.asarray(tfpn.layer[i].weight.detach().numpy().transpose(2, 3, 1, 0))
+        params[f"layer_{k}"]["bias"] = jnp.asarray(tfpn.layer[i].bias.detach().numpy())
+
+    with torch.no_grad():
+        ref = {k: v.numpy() for k, v in tfpn({k: torch.from_numpy(v) for k, v in feats_t.items()}).items()}
+    ours = fpn.apply({"params": params}, feats_j)
+
+    for k in ref:
+        got = np.asarray(ours[k]).transpose(0, 3, 1, 2)
+        assert got.shape == ref[k].shape, (k, got.shape, ref[k].shape)
+        np.testing.assert_allclose(got, ref[k], rtol=1e-4, atol=1e-4)
+
+
+def test_resnet50_fpn_shapes():
+    model = ResNet()
+    fpn = FPN()
+    x = jnp.zeros((1, 256, 320, 3))
+    variables = jax.eval_shape(lambda k: model.init(k, x), jax.random.key(0))
+    feats = jax.eval_shape(
+        lambda: model.apply(
+            jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), variables), x
+        )
+    )
+    assert feats["0"].shape == (1, 64, 80, 256)
+    assert feats["1"].shape == (1, 32, 40, 512)
+    assert feats["2"].shape == (1, 16, 20, 1024)
+    assert feats["3"].shape == (1, 8, 10, 2048)
+
+    fp_vars = jax.eval_shape(
+        lambda k: fpn.init(k, jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), feats)),
+        jax.random.key(0),
+    )
+    out = jax.eval_shape(
+        lambda: fpn.apply(
+            jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), fp_vars),
+            jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), feats),
+        )
+    )
+    assert out["0"].shape == (1, 64, 80, 256)
+    assert out["3"].shape == (1, 8, 10, 256)
+    assert out["pool"].shape == (1, 4, 5, 256)

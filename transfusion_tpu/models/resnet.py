@@ -1,0 +1,128 @@
+"""ResNet-50 backbone with detectron2-style strides, NHWC, flax.linen.
+
+Behavioral contract (checked against a torch oracle in tests):
+  * torchvision bottleneck topology with FrozenBatchNorm after every conv
+    (the reference freezes all backbone BN: ``rcnn_factory`` builds the
+    torchvision ``resnet_fpn_backbone`` whose norm layers are FrozenBN);
+  * ``stride_in_1x1=True`` moves the downsampling stride from conv2 (3x3)
+    to conv1 (1x1) in the first block of layers 2-4 — the detectron2
+    adaptation the reference applies for its translated Ego4D checkpoints
+    (``modeling/obj_detection/rcnn_factory.py:156-165``);
+  * explicit symmetric padding everywhere so geometry matches torch exactly
+    (XLA 'SAME' pads asymmetrically for stride 2 — a silent parity killer).
+
+Layout is NHWC and compute dtype is configurable (bf16 on TPU); parameters
+stay f32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm with fixed statistics: y = (x - mean) / sqrt(var + eps) * scale + bias.
+
+    Stored as four per-channel vectors so torch checkpoints translate 1:1.
+    The affine is constant during training (the reference never unfreezes
+    backbone BN — ``modeling/commons.py:33-41`` freezes all-but-BN then BN
+    stats stay frozen inside torchvision FrozenBatchNorm2d).
+    """
+
+    features: int
+    eps: float = 1e-5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        mean = self.param("mean", nn.initializers.zeros, (self.features,))
+        var = self.param("var", nn.initializers.ones, (self.features,))
+        # Pre-fold into a single multiply-add (XLA fuses this into the conv).
+        mul = scale / jnp.sqrt(var + self.eps)
+        add = bias - mean * mul
+        return x * mul.astype(self.dtype) + add.astype(self.dtype)
+
+
+class ConvNorm(nn.Module):
+    features: int
+    kernel: int
+    stride: int = 1
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        pad = (self.kernel - 1) // 2
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=((pad, pad), (pad, pad)),
+            use_bias=False,
+            dtype=self.dtype,
+            name="conv",
+        )(x)
+        return FrozenBatchNorm(self.features, dtype=self.dtype, name="bn")(x)
+
+
+class Bottleneck(nn.Module):
+    """1x1 -> 3x3 -> 1x1 (x4) with optional projection shortcut."""
+
+    mid: int
+    stride: int = 1
+    stride_in_1x1: bool = False
+    project: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        out = self.mid * 4
+        s1, s2 = (self.stride, 1) if self.stride_in_1x1 else (1, self.stride)
+        h = ConvNorm(self.mid, 1, s1, self.dtype, name="conv1")(x)
+        h = nn.relu(h)
+        h = ConvNorm(self.mid, 3, s2, self.dtype, name="conv2")(h)
+        h = nn.relu(h)
+        h = ConvNorm(out, 1, 1, self.dtype, name="conv3")(h)
+        if self.project:
+            x = ConvNorm(out, 1, self.stride, self.dtype, name="downsample")(x)
+        return nn.relu(h + x)
+
+
+class ResNet(nn.Module):
+    """Returns feature dict {"0": C2, "1": C3, "2": C4, "3": C5} (strides 4..32)."""
+
+    stage_sizes: Sequence[int] = (3, 4, 6, 3)  # ResNet-50
+    stride_in_1x1: bool = True  # detectron2 adaptation
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = ConvNorm(64, 7, 2, self.dtype, name="stem")(x)
+        h = nn.relu(h)
+        h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+
+        feats = {}
+        mid = 64
+        for stage, blocks in enumerate(self.stage_sizes):
+            stride = 1 if stage == 0 else 2
+            for b in range(blocks):
+                h = Bottleneck(
+                    mid=mid,
+                    stride=stride if b == 0 else 1,
+                    # detectron2 never puts the stride on the 1x1 in stage 1
+                    # (it has stride 1 anyway); flag applies to stages 2-4.
+                    stride_in_1x1=self.stride_in_1x1,
+                    project=(b == 0),
+                    dtype=self.dtype,
+                    name=f"layer{stage + 1}_{b}",
+                )(h)
+            feats[str(stage)] = h
+            mid *= 2
+        return feats
+
+
+RESNET50_CHANNELS = {"0": 256, "1": 512, "2": 1024, "3": 2048}
