@@ -1,0 +1,251 @@
+"""Detector-core tests: roi_align parity, anchors, RPN, sampling, postprocess,
+and a full forward smoke test."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tests.roi_align_oracle import roi_align_oracle
+from transfusion_tpu.models.anchors import cell_anchors, grid_anchors
+from transfusion_tpu.models.detector import DetectorConfig, FasterRCNN, detections_from_outputs
+from transfusion_tpu.models.roi_heads import (
+    IGNORE_VERB_IDX_BG,
+    RoIConfig,
+    postprocess_detections,
+    select_training_samples,
+)
+from transfusion_tpu.ops.roi_align import fpn_levels, multiscale_roi_align, roi_align
+
+
+def test_roi_align_parity(rng):
+    feat = rng.normal(0, 1, (24, 32, 8)).astype(np.float32)
+    rois = np.array(
+        [
+            [10.0, 12.0, 100.0, 90.0],
+            [0.0, 0.0, 30.0, 30.0],
+            [50.0, 4.0, 120.0, 95.0],
+            [-5.0, -5.0, 40.0, 60.0],  # partially outside
+        ],
+        np.float32,
+    )
+    scale = 0.25
+    ref = roi_align_oracle(feat, rois, scale)
+    got = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(rois), scale))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_fpn_level_assignment():
+    rois = jnp.asarray(
+        [
+            [0, 0, 64, 64],      # sqrt(area)=64 -> lvl 4+log2(64/224) ~ 2.19 -> 2 -> idx 0
+            [0, 0, 224, 224],    # -> 4 -> idx 2
+            [0, 0, 1000, 1000],  # clamps to 5 -> idx 3
+            [0, 0, 10, 10],      # clamps to 2 -> idx 0
+        ],
+        jnp.float32,
+    )
+    np.testing.assert_array_equal(np.asarray(fpn_levels(rois)), [0, 2, 3, 0])
+
+
+def test_multiscale_roi_align_selects_level(rng):
+    feats = {
+        "0": jnp.asarray(rng.normal(0, 1, (1, 64, 64, 4)).astype(np.float32)),
+        "1": jnp.asarray(rng.normal(0, 1, (1, 32, 32, 4)).astype(np.float32)),
+        "2": jnp.asarray(rng.normal(0, 1, (1, 16, 16, 4)).astype(np.float32)),
+        "3": jnp.asarray(rng.normal(0, 1, (1, 8, 8, 4)).astype(np.float32)),
+    }
+    rois = np.array([[0, 0, 64, 64], [0, 0, 230, 230]], np.float32)
+    out = multiscale_roi_align(feats, jnp.asarray(rois)[None], (256, 256))
+    ref0 = roi_align_oracle(np.asarray(feats["0"][0]), rois[:1], 64 / 256)
+    ref1 = roi_align_oracle(np.asarray(feats["2"][0]), rois[1:], 16 / 256)
+    np.testing.assert_allclose(np.asarray(out[0, 0]), ref0[0], rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out[0, 1]), ref1[0], rtol=1e-4, atol=1e-5)
+
+
+def test_cell_anchors_torchvision_values():
+    # torchvision base anchors for size 32, ratios (0.5, 1, 2), rounded.
+    got = cell_anchors(32, (0.5, 1.0, 2.0))
+    expect = np.array(
+        [[-23.0, -11.0, 23.0, 11.0], [-16.0, -16.0, 16.0, 16.0], [-11.0, -23.0, 11.0, 23.0]]
+    )
+    np.testing.assert_array_equal(got, expect)
+
+
+def test_grid_anchor_counts():
+    shapes = [(56, 72), (28, 36), (14, 18), (7, 9), (4, 5)]
+    anchors = grid_anchors(shapes, (224, 288))
+    assert [a.shape[0] for a in anchors] == [h * w * 3 for h, w in shapes]
+    # First anchor of level 0 is the base anchor at origin.
+    np.testing.assert_array_equal(anchors[0][0], [-23.0, -11.0, 23.0, 11.0])
+    # Stride applies per cell: anchor at cell (0, 1).
+    np.testing.assert_array_equal(anchors[0][3], [-23.0 + 4, -11.0, 23.0 + 4, 11.0])
+
+
+def _toy_targets(bsz=2, g=4):
+    boxes = np.zeros((bsz, g, 4), np.float32)
+    boxes[:, 0] = [10, 10, 60, 60]
+    boxes[:, 1] = [80, 80, 140, 150]
+    valid = np.zeros((bsz, g), bool)
+    valid[:, :2] = True
+    return {
+        "boxes": jnp.asarray(boxes),
+        "nouns": jnp.asarray(np.tile([5, 9, 0, 0], (bsz, 1))),
+        "verbs": jnp.asarray(np.tile([3, 7, 0, 0], (bsz, 1))),
+        "ttcs": jnp.asarray(np.tile([0.5, 1.25, 0, 0], (bsz, 1)).astype(np.float32)),
+        "valid": jnp.asarray(valid),
+    }
+
+
+def test_select_training_samples():
+    targets = _toy_targets()
+    # Proposals: exact gt matches + far-away negatives.
+    props = np.tile(
+        np.array(
+            [[10, 10, 60, 60], [81, 81, 139, 149], [200, 200, 240, 240], [300, 10, 350, 80]],
+            np.float32,
+        ),
+        (2, 1, 1),
+    )
+    pvalid = np.ones((2, 4), bool)
+    cfg = RoIConfig(batch_size_per_image=8, num_nouns=12, num_verbs=9)
+    out = select_training_samples(
+        jax.random.key(0), jnp.asarray(props), jnp.asarray(pvalid), targets, cfg
+    )
+    nouns = np.asarray(out["nouns"])
+    verbs = np.asarray(out["verbs"])
+    ttcs = np.asarray(out["ttcs"])
+    valid = np.asarray(out["valid"])
+    # 6 candidates (4 proposals + 2 valid gt appended): 4 positives capped at
+    # the int(8 * 0.25) = 2 budget, plus the 2 far negatives -> 4 sampled.
+    for b in range(2):
+        assert valid[b].sum() == 4
+        pos = nouns[b][valid[b] & (nouns[b] > 0)]
+        assert len(pos) == 2 and set(pos.tolist()) <= {5, 9}
+        # Background rows: noun 0, verb/ttc ignore-bg code.
+        bg = valid[b] & (nouns[b] == 0)
+        assert np.all(verbs[b][bg] == IGNORE_VERB_IDX_BG)
+        assert np.all(ttcs[b][bg] == float(IGNORE_VERB_IDX_BG))
+        # Padding rows labeled -1.
+        assert np.all(nouns[b][~valid[b]] == -1)
+    # Positive rows carry the matched gt's verb/ttc.
+    m = valid & (nouns == 5)
+    assert np.all(verbs[m] == 3) and np.allclose(ttcs[m], 0.5)
+
+
+def _make_logits(r, c, hot, score=8.0):
+    x = np.zeros((r, c), np.float32)
+    for i, cls in enumerate(hot):
+        x[i, cls] = score
+    return x
+
+
+def test_postprocess_detections_basic():
+    cfg = RoIConfig(
+        num_nouns=6, num_verbs=5, detections_per_img=10, score_thresh=0.01,
+        additional_postprocessing=False, ttc_on=True,
+    )
+    r = 4
+    props = np.array(
+        [[10, 10, 50, 50], [100, 100, 160, 170], [200, 200, 220, 230], [5, 5, 6, 6]], np.float32
+    )[None]
+    class_logits = _make_logits(r, 6, [2, 3, 1, 4])[None]
+    verb_logits = _make_logits(r, 5, [1, 2, 3, 0])[None]
+    box_reg = np.zeros((1, r, 24), np.float32)  # zero deltas -> boxes == proposals
+    outputs = {
+        "class_logits": jnp.asarray(class_logits),
+        "verb_logits": jnp.asarray(verb_logits),
+        "box_regression": jnp.asarray(box_reg),
+        "ttcs": jnp.asarray(np.array([[0.3, 0.9, 1.5, 2.0]], np.float32)),
+    }
+    out = postprocess_detections(
+        outputs, jnp.asarray(props), jnp.ones((1, r), bool), (256, 256), cfg
+    )
+    v = np.asarray(out["valid"][0])
+    nouns = np.asarray(out["nouns"][0])[v]
+    verbs = np.asarray(out["verbs"][0])[v]
+    boxes = np.asarray(out["boxes"][0])[v]
+    # Proposal 3 is degenerate-small (1x1 > min_size 1e-2 actually) — it stays;
+    # top detections dominated by the hot classes of each proposal.
+    assert 2 in nouns and 3 in nouns and 1 in nouns
+    # The top-scoring detection for proposal 0 keeps its per-proposal verb argmax.
+    i0 = np.argmax(np.asarray(out["scores"][0]) * (nouns[0] == nouns[0]))
+    assert verbs[0] == 1
+    # Zero deltas: boxes equal proposals for the top per-proposal candidates.
+    match = np.any(np.all(np.abs(boxes[:, None, :] - props[0][None]) < 1e-3, axis=-1), axis=-1)
+    assert match.all()
+
+
+def test_postprocess_additional_verb_replacement_and_conflicts():
+    cfg = RoIConfig(
+        num_nouns=4, num_verbs=4, detections_per_img=8, score_thresh=0.01,
+        additional_postprocessing=True, ttc_on=True, min_ttc=0.251,
+    )
+    freqs = np.zeros((4, 4), np.float32)
+    freqs[2, 1] = 5.0  # noun 2 co-occurs only with verb 1 in train
+    r = 2
+    # Two overlapping proposals, same noun class 2, same verb argmax 0 (unseen pair).
+    props = np.array([[10, 10, 60, 60], [20, 20, 70, 70]], np.float32)[None]
+    class_logits = _make_logits(r, 4, [2, 2], score=6.0)[None]
+    class_logits[0, 1, 2] = 5.0  # second proposal scores slightly lower
+    verb_logits = _make_logits(r, 4, [0, 0])[None]
+    outputs = {
+        "class_logits": jnp.asarray(class_logits),
+        "verb_logits": jnp.asarray(verb_logits),
+        "box_regression": jnp.asarray(np.zeros((1, r, 16), np.float32)),
+        "ttcs": jnp.asarray(np.array([[0.05, 0.4]], np.float32)),
+    }
+    out = postprocess_detections(
+        outputs, jnp.asarray(props), jnp.ones((1, r), bool), (128, 128), cfg,
+        noun_verb_frequencies=jnp.asarray(freqs),
+    )
+    v = np.asarray(out["valid"][0])
+    nouns = np.asarray(out["nouns"][0])
+    verbs = np.asarray(out["verbs"][0])
+    ttcs = np.asarray(out["ttcs"][0])
+    # Verb replaced 0 -> 1 (train frequency argmax) for noun 2.
+    assert np.all(verbs[v & (nouns == 2)] == 1)
+    # Conflict pruning: the two same-(noun,verb) intersecting detections reduce to
+    # one survivor with the highest score (NMS at IoU .5 doesn't kill them: IoU ~0.47).
+    assert (v & (nouns == 2)).sum() == 1
+    # TTC clamped to min.
+    assert np.all(ttcs[v] >= 0.251)
+
+
+def test_detector_forward_smoke():
+    cfg = DetectorConfig(
+        roi=RoIConfig(num_nouns=7, num_verbs=5, representation_size=64,
+                      batch_size_per_image=16, detections_per_img=10,
+                      score_thresh=0.01, ttc_on=True),
+    )
+    model = FasterRCNN(cfg)
+    img = jnp.zeros((1, 128, 128, 3))
+    targets = {
+        "boxes": jnp.asarray(np.array([[[10, 10, 60, 60], [0, 0, 0, 0]]], np.float32)),
+        "nouns": jnp.asarray([[3, 0]]),
+        "verbs": jnp.asarray([[2, 0]]),
+        "ttcs": jnp.asarray([[0.7, 0.0]], ),
+        "valid": jnp.asarray([[True, False]]),
+    }
+    variables = model.init(
+        {"params": jax.random.key(0), "sampling": jax.random.key(1), "dropout": jax.random.key(2)},
+        img, (128, 128), targets, True,
+    )
+    out = model.apply(
+        variables, img, (128, 128), targets, True,
+        rngs={"sampling": jax.random.key(3), "dropout": jax.random.key(4)},
+    )
+    roi = out["roi_outputs"]
+    s = cfg.roi.batch_size_per_image
+    assert roi["class_logits"].shape == (1, s, 7)
+    assert roi["verb_logits"].shape == (1, s, 5)
+    assert roi["box_regression"].shape == (1, s, 28)
+    assert roi["ttcs"].shape == (1, s)
+    assert roi["labels"][0].shape == (1, s)
+    assert out["proposals"]["boxes"].shape[2] == 4
+
+    # Eval path + postprocess.
+    out_eval = model.apply(variables, img, (128, 128), None, False)
+    dets = detections_from_outputs(out_eval, cfg)
+    assert dets["boxes"].shape == (1, 10, 4)
+    assert dets["valid"].dtype == bool

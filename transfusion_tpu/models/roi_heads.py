@@ -1,0 +1,274 @@
+"""RoI heads: triple-label target assignment, TwoMLP box head, noun/verb/box/
+TTC predictors, and static-shape detection postprocessing.
+
+Behavioral source: ``modeling/obj_detection/roi_wrappers.py`` —
+  * losses live OUTSIDE the model (the trainer), so the forward returns raw
+    logits plus sampled labels/targets (``roi_wrappers.py:233-242``);
+  * triple-label assignment gives each sampled proposal a noun, verb and ttc;
+    background rows get noun 0 / verb 999 / ttc 999.0 and between-threshold
+    rows -1 (``roi_wrappers.py:349-396``);
+  * inference postprocess: per-class box decode, score threshold, small-box
+    removal, per-class NMS, top-k, then "additional postprocessing" — verb
+    replacement by train noun->verb frequency argmax for unseen pairs and
+    greedy suppression of intersecting same-(noun,verb) detections via the
+    lower-triangular conflict matrix (``roi_wrappers.py:398-535``).
+
+Everything is fixed-shape: sampled proposals occupy ``batch_size_per_image``
+slots with -1-labeled padding; detections occupy ``detections_per_img`` slots
+with a validity mask.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from transfusion_tpu.ops import (
+    BoxCoder,
+    balanced_sample,
+    box_iou,
+    clip_boxes,
+    match_proposals,
+    small_box_mask,
+)
+from transfusion_tpu.ops.nms import class_nms_multi
+
+IGNORE_VERB_IDX_BG = 999  # roi_wrappers.py:21
+
+
+@dataclass(frozen=True)
+class RoIConfig:
+    num_nouns: int = 88
+    num_verbs: int = 75
+    representation_size: int = 1024
+    fg_iou_thresh: float = 0.5
+    bg_iou_thresh: float = 0.5
+    batch_size_per_image: int = 128
+    positive_fraction: float = 0.25
+    score_thresh: float = 0.05
+    nms_thresh: float = 0.5
+    detections_per_img: int = 100
+    min_size: float = 1e-2
+    box_1_dropout: float = 0.0
+    box_2_dropout: float = 0.0
+    classif_dropout: float = 0.0
+    ttc_on: bool = False
+    additional_postprocessing: bool = False
+    min_ttc: float = 0.251  # faster_rcnn_wrapper.py:20
+
+
+BOX_CODER = BoxCoder((10.0, 10.0, 5.0, 5.0))
+
+
+class BoxHead(nn.Module):
+    """torchvision TwoMLPHead: flatten -> fc6 -> relu -> fc7 -> relu."""
+
+    representation_size: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, r = x.shape[:2]
+        h = x.reshape(b, r, -1)
+        h = nn.relu(nn.Dense(self.representation_size, dtype=self.dtype, name="fc6")(h))
+        h = nn.relu(nn.Dense(self.representation_size, dtype=self.dtype, name="fc7")(h))
+        return h
+
+
+class RoIPredictors(nn.Module):
+    """box_regressor / noun_classifier / verb_classifier / ttc head.
+
+    Heads are initialized normal(0.01) with zero bias like the reference
+    re-initialization path (roi_wrappers.py:92-126).
+    """
+
+    cfg: RoIConfig
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, box_features, deterministic: bool = True):
+        cfg = self.cfg
+        init = nn.initializers.normal(0.01)
+
+        h = nn.Dropout(cfg.box_2_dropout, deterministic=deterministic)(box_features)
+        box_regression = nn.Dense(4 * cfg.num_nouns, kernel_init=init, dtype=self.dtype, name="box_regressor")(h)
+
+        h = nn.Dropout(cfg.classif_dropout, deterministic=deterministic)(box_features)
+        class_logits = nn.Dense(cfg.num_nouns, kernel_init=init, dtype=self.dtype, name="noun_classifier")(h)
+        verb_logits = nn.Dense(cfg.num_verbs, kernel_init=init, dtype=self.dtype, name="verb_classifier")(h)
+
+        if cfg.ttc_on:
+            ttc_prelim = nn.Dense(1, dtype=self.dtype, name="ttc_pred_layer")(h)
+            ttcs = jax.nn.softplus(ttc_prelim)[..., 0]
+        else:
+            ttcs = None
+
+        return {
+            "class_logits": class_logits,
+            "verb_logits": verb_logits,
+            "box_regression": box_regression,
+            "ttcs": ttcs,
+            "box_features": h,
+        }
+
+
+def select_training_samples(key, proposals, prop_valid, targets, cfg: RoIConfig):
+    """Sample a fixed set of training RoIs with triple labels.
+
+    proposals: [B, P, 4] + prop_valid [B, P]; targets: dict with boxes
+    [B, G, 4], nouns/verbs [B, G], ttcs [B, G], valid [B, G].
+    Returns dict of [B, S, ...] arrays, S = batch_size_per_image; padding rows
+    carry noun/verb label -1 and valid False.
+    """
+    s = cfg.batch_size_per_image
+
+    def per_image(k, props, pvalid, boxes, nouns, verbs, ttcs, gvalid):
+        # Append gt boxes as proposals (roi_wrappers.py:322-323).
+        all_props = jnp.concatenate([props, boxes], axis=0)
+        all_valid = jnp.concatenate([pvalid, gvalid], axis=0)
+
+        iou = box_iou(boxes, all_props)
+        iou = jnp.where(all_valid[None, :], iou, -1.0)
+        matches = match_proposals(iou, gvalid, cfg.fg_iou_thresh, cfg.bg_iou_thresh, False)
+        clamped = jnp.clip(matches, 0)
+
+        noun_l = jnp.where(matches >= 0, nouns[clamped], jnp.where(matches == -1, 0, -1))
+        verb_l = jnp.where(matches >= 0, verbs[clamped], jnp.where(matches == -1, IGNORE_VERB_IDX_BG, -1))
+        ttc_l = jnp.where(
+            matches >= 0, ttcs[clamped], jnp.where(matches == -1, float(IGNORE_VERB_IDX_BG), -1.0)
+        )
+        # Background image: everything negative (torchvision special case).
+        has_gt = jnp.any(gvalid)
+        noun_l = jnp.where(has_gt, noun_l, 0)
+        verb_l = jnp.where(has_gt, verb_l, IGNORE_VERB_IDX_BG)
+        ttc_l = jnp.where(has_gt, ttc_l, float(IGNORE_VERB_IDX_BG))
+        noun_l = jnp.where(all_valid, noun_l, -1)
+
+        pos_mask, neg_mask = balanced_sample(k, noun_l, all_valid, s, cfg.positive_fraction)
+        sampled = pos_mask | neg_mask
+        n = all_props.shape[0]
+        order = jnp.argsort(jnp.where(sampled, jnp.arange(n), n + jnp.arange(n)), stable=True)[:s]
+        sampled_valid = sampled[order]
+
+        rois = all_props[order]
+        matched_gt = boxes[clamped[order]]
+        reg_targets = BOX_CODER.encode(matched_gt, rois)
+
+        def mask_label(x, fill):
+            return jnp.where(sampled_valid, x[order], fill)
+
+        return {
+            "rois": jnp.where(sampled_valid[:, None], rois, 0.0),
+            "nouns": mask_label(noun_l, -1),
+            "verbs": mask_label(verb_l, -1),
+            "ttcs": mask_label(ttc_l, -1.0),
+            "reg_targets": jnp.where(sampled_valid[:, None], reg_targets, 0.0),
+            "valid": sampled_valid,
+        }
+
+    keys = jax.random.split(key, proposals.shape[0])
+    return jax.vmap(per_image)(
+        keys, proposals, prop_valid,
+        targets["boxes"], targets["nouns"], targets["verbs"], targets["ttcs"], targets["valid"],
+    )
+
+
+def postprocess_detections(
+    outputs: dict,
+    proposals: jnp.ndarray,
+    prop_valid: jnp.ndarray,
+    image_hw: tuple,
+    cfg: RoIConfig,
+    noun_verb_frequencies: jnp.ndarray | None = None,
+    training: bool = False,
+):
+    """Static-shape translation of DualClassRoiHeadsWrapper.postprocess_detections.
+
+    Returns dict of [B, K, ...] (K = detections_per_img): boxes (image-resized
+    coordinates — callers rescale to original size), scores, nouns, verbs,
+    ttcs, prop_idx, valid.
+    """
+    class_logits = outputs["class_logits"]
+    verb_logits = outputs["verb_logits"]
+    box_regression = outputs["box_regression"]
+    ttcs = outputs["ttcs"]
+    bsz, r, c = class_logits.shape
+
+    pred_boxes = BOX_CODER.decode(box_regression.reshape(bsz, r, c, 4), proposals)
+    pred_boxes = clip_boxes(pred_boxes, image_hw[0], image_hw[1])
+    scores = jax.nn.softmax(class_logits, axis=-1)
+    # Per-proposal verb: argmax excluding the trailing bg verb (roi_wrappers.py:420).
+    verb_idx = jnp.argmax(verb_logits[..., :-1], axis=-1)
+    if ttcs is None:
+        ttcs = jnp.zeros((bsz, r))
+
+    # Explode to (proposal, class) candidates, dropping the bg column 0.
+    cand_boxes = pred_boxes[:, :, 1:, :].reshape(bsz, r * (c - 1), 4)
+    cand_scores = scores[:, :, 1:].reshape(bsz, r * (c - 1))
+    cand_labels = jnp.broadcast_to(jnp.arange(1, c)[None, None, :], (bsz, r, c - 1)).reshape(bsz, -1)
+    cand_prop = jnp.broadcast_to(jnp.arange(r)[None, :, None], (bsz, r, c - 1)).reshape(bsz, -1)
+
+    valid = (
+        jnp.take_along_axis(prop_valid, cand_prop, axis=1)
+        & (cand_scores > cfg.score_thresh)
+        & small_box_mask(cand_boxes, cfg.min_size)
+    )
+
+    k = cfg.detections_per_img
+    keep_idx, keep_valid = class_nms_multi(
+        cand_boxes, cand_scores, cand_labels, valid, cfg.nms_thresh, k
+    )
+
+    def take(x):
+        return jnp.take_along_axis(x, keep_idx, axis=1)
+
+    det_boxes = jnp.take_along_axis(cand_boxes, keep_idx[..., None], axis=1)
+    det_scores = take(cand_scores)
+    det_nouns = take(cand_labels)
+    det_prop = take(cand_prop)
+    det_verbs = jnp.take_along_axis(verb_idx, det_prop, axis=1)
+    det_ttcs = jnp.take_along_axis(ttcs, det_prop, axis=1)
+
+    if cfg.additional_postprocessing and noun_verb_frequencies is not None:
+        freqs = noun_verb_frequencies  # [num_nouns, num_verbs]
+        det_freq_row = freqs[det_nouns]  # [B, K, V]
+        argmax_verbs = jnp.argmax(det_freq_row, axis=-1)
+        argmax_freq = jnp.take_along_axis(det_freq_row, argmax_verbs[..., None], axis=-1)[..., 0]
+        cur_freq = jnp.take_along_axis(det_freq_row, det_verbs[..., None], axis=-1)[..., 0]
+        replace = (cur_freq == 0) & (argmax_freq > 0)
+        det_verbs = jnp.where(replace, argmax_verbs, det_verbs)
+
+        # Greedy suppression of intersecting same-(noun,verb) detections
+        # (roi_wrappers.py:498-521): detection i dies if any earlier kept-order
+        # detection conflicts with it.
+        xl = jnp.maximum(det_boxes[:, :, None, 0], det_boxes[:, None, :, 0])
+        yt = jnp.maximum(det_boxes[:, :, None, 1], det_boxes[:, None, :, 1])
+        xr = jnp.minimum(det_boxes[:, :, None, 2], det_boxes[:, None, :, 2])
+        yb = jnp.minimum(det_boxes[:, :, None, 3], det_boxes[:, None, :, 3])
+        intersect = (xl < xr) & (yt < yb)
+        same = (det_nouns[:, :, None] == det_nouns[:, None, :]) & (
+            det_verbs[:, :, None] == det_verbs[:, None, :]
+        )
+        both_valid = keep_valid[:, :, None] & keep_valid[:, None, :]
+        eye = jnp.eye(k, dtype=bool)[None]
+        conflicts = intersect & same & both_valid & ~eye
+        lower = jnp.tril(jnp.ones((k, k), dtype=bool))[None]
+        keep2 = jnp.sum(conflicts & lower, axis=-1) == 0
+        keep_valid = keep_valid & keep2
+
+        if not training:
+            det_ttcs = jnp.maximum(det_ttcs, cfg.min_ttc)
+
+    return {
+        "boxes": jnp.where(keep_valid[..., None], det_boxes, 0.0),
+        "scores": jnp.where(keep_valid, det_scores, 0.0),
+        "nouns": jnp.where(keep_valid, det_nouns, 0),
+        "verbs": jnp.where(keep_valid, det_verbs, 0),
+        "ttcs": jnp.where(keep_valid, det_ttcs, 0.0),
+        "prop_idx": det_prop,
+        "valid": keep_valid,
+    }
