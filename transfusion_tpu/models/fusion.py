@@ -1,0 +1,211 @@
+"""Per-FPN-level vision-language cross fusion.
+
+The core contribution of the reference
+(``modeling/cross_fusion/ego_fusion/cross_f_box_wrapper.py:165-230`` +
+``cross_f_box_layers.py:13-108``): each selected backbone feature map is
+
+  1. conv-patchified into tokens (kernel = stride = patch size, no bias);
+  2. given sinusoidal (or learned) positional embeddings + a learned
+     image-kind embedding, while language tokens get a lang-kind embedding;
+  3. concatenated with the language tokens and run through a joint
+     post-norm Transformer encoder with a padding mask over the padded
+     language positions (and optionally a local visual attention mask);
+  4. split back; visual tokens get a final LayerNorm and are re-projected to
+     a feature map (dropout -> Linear(token_dim, ph*pw*C) -> fold), which
+     REPLACES the backbone feature before the FPN.
+
+Shapes are static per resize bucket; the sin1d table is precomputed at
+``MAX_NUM_PATCHES`` and sliced (the same slice trick the reference uses at
+``cross_fusion/utils.py:209-214``).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+import numpy as np
+
+MAX_NUM_PATCHES = 8192  # cross_f_box_wrapper.py:21
+
+
+def sin1d_table(n: int, dim: int) -> np.ndarray:
+    """Classic sine/cosine positional table [n, dim] (cross_fusion/utils.py:267-273)."""
+    position = np.arange(n, dtype=np.float32)[:, None]
+    div = np.exp(np.arange(0, dim, 2, dtype=np.float32) * (-math.log(10000.0) / dim))
+    pe = np.zeros((n, dim), np.float32)
+    pe[:, 0::2] = np.sin(position * div)
+    pe[:, 1::2] = np.cos(position * div)
+    return pe
+
+
+class PositionalEmbedding(nn.Module):
+    kind: str  # "sin1d" | "learned" | "zero"
+    num_patches: int
+    dim: int
+
+    @nn.compact
+    def __call__(self, x):
+        n = x.shape[1]
+        if self.kind == "sin1d":
+            table = jnp.asarray(sin1d_table(self.num_patches, self.dim))
+        elif self.kind == "learned":
+            table = self.param("pos_embedding", nn.initializers.normal(1.0), (self.num_patches, self.dim))
+        elif self.kind == "zero":
+            table = self.param("pos_embedding", nn.initializers.zeros, (self.num_patches, self.dim))
+        else:
+            raise ValueError(f"unknown pos embedding {self.kind}")
+        return x + table[None, :n].astype(x.dtype)
+
+
+class EncoderLayer(nn.Module):
+    """torch nn.TransformerEncoderLayer, post-norm, batch_first semantics."""
+
+    dim: int
+    num_heads: int
+    ff_multiplier: float = 2.0
+    dropout: float = 0.1
+    activation: str = "gelu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, key_padding_mask=None, attn_mask=None, deterministic=True):
+        b, l, d = x.shape
+        head_dim = self.dim // self.num_heads
+
+        def proj(name, inp):
+            return nn.Dense(self.dim, dtype=self.dtype, name=name)(inp).reshape(b, l, self.num_heads, head_dim)
+
+        q, k, v = proj("q_proj", x), proj("k_proj", x), proj("v_proj", x)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(head_dim).astype(self.dtype)
+        if key_padding_mask is not None:
+            # True = ignore (torch convention).
+            scores = jnp.where(key_padding_mask[:, None, None, :], -1e9, scores)
+        if attn_mask is not None:
+            # [L, L] bool, True = blocked.
+            scores = jnp.where(attn_mask[None, None], -1e9, scores)
+        probs = nn.softmax(scores, axis=-1)
+        probs = nn.Dropout(self.dropout, deterministic=deterministic)(probs)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, l, d)
+        attn_out = nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(ctx)
+        attn_out = nn.Dropout(self.dropout, deterministic=deterministic)(attn_out)
+        x = nn.LayerNorm(name="norm1")(x + attn_out)
+
+        h = nn.Dense(int(self.dim * self.ff_multiplier), dtype=self.dtype, name="linear1")(x)
+        h = nn.gelu(h, approximate=False) if self.activation == "gelu" else nn.relu(h)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="linear2")(h)
+        h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
+        return nn.LayerNorm(name="norm2")(x + h)
+
+
+@dataclass(frozen=True)
+class FusionLevelConfig:
+    token_dim: int = 896
+    num_layers: int = 4
+    num_heads: int = 4
+    ff_multiplier: float = 2.0
+    token_dropout: float = 0.15
+    patch_dropout: float = 0.1
+    backproj_dropout: float = 0.1
+    pos_embedding: str = "sin1d"
+    final_norm: str = "ln"
+    activation: str = "gelu"
+    patch_h: int = 4
+    patch_w: int = 4
+    vis_mask_type: str = "global"
+
+
+class CrossFusionLevel(nn.Module):
+    """Fuse one feature level with language tokens; returns the replaced map.
+
+    Feature map [B, H, W, C] -> tokens [(H/ph)*(W/pw), token_dim] -> joint
+    encoder with language -> re-projected [B, H, W, C].
+    """
+
+    cfg: FusionLevelConfig
+    out_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, lang_tokens, lang_mask, deterministic: bool = True):
+        cfg = self.cfg
+        b, h, w, c = feat.shape
+        ph, pw = cfg.patch_h, cfg.patch_w
+
+        vis = nn.Conv(
+            cfg.token_dim, (ph, pw), strides=(ph, pw), use_bias=False,
+            dtype=self.dtype, name="patch_to_token",
+        )(feat)
+        gh, gw = vis.shape[1:3]
+        n = gh * gw
+        vis = vis.reshape(b, n, cfg.token_dim)
+
+        vis = PositionalEmbedding(cfg.pos_embedding, MAX_NUM_PATCHES, cfg.token_dim, name="pos")(vis)
+        img_kind = self.param("image_kind", nn.initializers.normal(1.0), (1, 1, cfg.token_dim))
+        lang_kind = self.param("lang_kind", nn.initializers.normal(1.0), (1, 1, cfg.token_dim))
+        vis = vis + img_kind
+        vis = nn.Dropout(cfg.patch_dropout, deterministic=deterministic)(vis)
+        lang = lang_tokens + lang_kind
+
+        x = jnp.concatenate([vis, lang], axis=1)
+        # Padding mask: visual tokens never padded; lang padded where mask==0.
+        pad = jnp.concatenate(
+            [jnp.zeros((b, n), bool), lang_mask == 0], axis=1
+        )
+        attn_mask = None
+        if cfg.vis_mask_type != "global":
+            raise NotImplementedError("local visual masks land with the Pallas attention kernel")
+
+        for i in range(cfg.num_layers):
+            x = EncoderLayer(
+                cfg.token_dim, cfg.num_heads, cfg.ff_multiplier, cfg.token_dropout,
+                cfg.activation, self.dtype, name=f"layer_{i}",
+            )(x, key_padding_mask=pad, attn_mask=attn_mask, deterministic=deterministic)
+
+        vis_out = x[:, :n]
+        lang_out = x[:, n:]
+        if cfg.final_norm == "ln":
+            vis_out = nn.LayerNorm(name="final_norm")(vis_out)
+
+        # RegroupPatchesLayerBox: dropout -> linear -> fold (utils.py:84-119).
+        vis_out = nn.Dropout(cfg.backproj_dropout, deterministic=deterministic)(vis_out)
+        vis_out = nn.Dense(ph * pw * self.out_channels, dtype=self.dtype, name="back_proj")(vis_out)
+        fused = vis_out.reshape(b, gh, gw, ph, pw, self.out_channels)
+        fused = fused.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * ph, gw * pw, self.out_channels)
+        if (gh * ph, gw * pw) != (h, w):
+            # Feature maps whose sides aren't patch multiples keep their tail
+            # unfused; pad back (reference sizes are always multiples).
+            fused = jnp.pad(fused, ((0, 0), (0, h - gh * ph), (0, w - gw * pw), (0, 0)))
+        return fused, lang_out
+
+
+class PoolPredictor(nn.Module):
+    """LM auxiliary head (modeling/cross_fusion/ego_fusion/lm_layers.py:30-81):
+    masked max/mean pool over fused language tokens -> LN -> noun/verb logits
+    (background classes excluded)."""
+
+    num_nouns: int  # already excludes bg
+    num_verbs: int  # already excludes bg (0 disables the verb head)
+    pooling: str = "mean"
+    use_ln: bool = True
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, lang_tokens, lang_mask=None):
+        x = lang_tokens
+        if lang_mask is not None:
+            x = x * lang_mask[..., None].astype(x.dtype)
+        feats = jnp.max(x, axis=1) if self.pooling == "max" else jnp.mean(x, axis=1)
+        if self.use_ln:
+            feats = nn.LayerNorm(name="ln")(feats)
+        noun_logits = nn.Dense(self.num_nouns, dtype=self.dtype, name="mlp_noun")(feats)
+        verb_logits = (
+            nn.Dense(self.num_verbs, dtype=self.dtype, name="mlp_verb")(feats)
+            if self.num_verbs
+            else None
+        )
+        return {"noun_logits": noun_logits, "verb_logits": verb_logits}
