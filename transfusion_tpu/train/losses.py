@@ -1,0 +1,149 @@
+"""Training losses, masked static-shape versions of the reference's.
+
+Sources: ``runner/metrics_losses/losses.py:98-135`` (box loss, beta=1/9,
+sum-reduced over positive rows' class-specific regression, normalized by the
+number of sampled proposals), torchvision RPN ``compute_loss`` (sampled BCE
+objectness + smooth-L1 box, beta=1/9), and the trainer's class-weighted CE
+with bg handling (``runner/abc_nao_trainer.py:32-67``,
+``runner/nao/ego_nao_trainer.py:283-374``).
+
+Every function takes explicit validity masks: padded rows (label -1) simply
+drop out of the sums with the same normalizations the dynamic-shape
+reference computes.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from transfusion_tpu.models.roi_heads import IGNORE_VERB_IDX_BG
+from transfusion_tpu.ops import balanced_sample
+
+
+def smooth_l1(x: jnp.ndarray, beta: float) -> jnp.ndarray:
+    ax = jnp.abs(x)
+    return jnp.where(ax < beta, 0.5 * ax * ax / beta, ax - 0.5 * beta)
+
+
+def box_loss(box_regression, noun_labels, reg_targets):
+    """losses.py:98-135: smooth-L1 (beta=1/9) over positive rows'
+    class-specific deltas, sum / max(num_sampled, 1).
+
+    box_regression: [B, S, 4*C]; noun_labels: [B, S] (-1 padding, 0 bg);
+    reg_targets: [B, S, 4].
+    """
+    b, s, _ = box_regression.shape
+    reg = box_regression.reshape(b, s, -1, 4)
+    cls = jnp.clip(noun_labels, 0)
+    per_row = jnp.take_along_axis(reg, cls[..., None, None].astype(jnp.int32), axis=2)[:, :, 0]
+    losses = smooth_l1(per_row - reg_targets, beta=1.0 / 9.0).sum(-1)
+    pos = noun_labels > 0
+    total = jnp.sum(jnp.where(pos, losses, 0.0))
+    count = jnp.maximum(jnp.sum(noun_labels >= 0), 1)
+    return total / count
+
+
+def rpn_loss(key, objectness, pred_deltas, labels, reg_targets, batch_size_per_image, positive_fraction=0.5):
+    """torchvision RPN compute_loss with the fixed per-image sampling budget
+    (config rpn_batch_size_per_image, ``ego_vis_det_ego4dv2.yml:35``).
+
+    objectness [B, A], pred_deltas [B, A, 4], labels [B, A] in {1, 0, -1},
+    reg_targets [B, A, 4]. Returns (objectness_loss, box_loss).
+    """
+
+    def per_image(k, lab):
+        return balanced_sample(k, lab, jnp.ones_like(lab, dtype=bool), batch_size_per_image, positive_fraction)
+
+    keys = jax.random.split(key, labels.shape[0])
+    pos_mask, neg_mask = jax.vmap(per_image)(keys, labels)
+    sampled = pos_mask | neg_mask
+    n_sampled = jnp.maximum(jnp.sum(sampled), 1)
+
+    box = smooth_l1(pred_deltas - reg_targets, beta=1.0 / 9.0).sum(-1)
+    box_total = jnp.sum(jnp.where(pos_mask, box, 0.0)) / n_sampled
+
+    logits = objectness
+    targets = (labels > 0).astype(logits.dtype)
+    bce = jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+    obj_total = jnp.sum(jnp.where(sampled, bce, 0.0)) / n_sampled
+    return obj_total, box_total
+
+
+def weighted_cross_entropy(logits, targets, weights, valid):
+    """torch CrossEntropyLoss(weight=w, reduction="mean") with validity mask:
+    sum(w_t * nll) / sum(w_t) over valid rows."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    t = jnp.clip(targets, 0)
+    nll = -jnp.take_along_axis(logp, t[..., None], axis=-1)[..., 0]
+    w = weights[t] * valid.astype(logits.dtype)
+    denom = jnp.maximum(jnp.sum(w), 1e-12)
+    return jnp.sum(nll * w) / denom
+
+
+def noun_loss(class_logits, noun_labels, noun_weights):
+    """Class-weighted noun CE over all sampled rows incl. background
+    (ego_nao_trainer.py:307-310; the +1e-6 logit shift is a no-op for
+    softmax and omitted)."""
+    valid = noun_labels >= 0
+    return weighted_cross_entropy(class_logits, noun_labels, noun_weights, valid)
+
+
+def verb_loss(verb_logits, verb_labels, verb_weights, verb_bg: bool):
+    """ego_nao_trainer.py:312-322: bg verbs (code 999) remap to the last
+    class when verb_bg, else bg rows are excluded entirely."""
+    num_verbs = verb_logits.shape[-1]
+    is_bg = verb_labels == IGNORE_VERB_IDX_BG
+    valid = verb_labels >= 0
+    targets = jnp.where(is_bg, num_verbs - 1, verb_labels)
+    if not verb_bg:
+        valid = valid & ~is_bg
+    return weighted_cross_entropy(verb_logits, targets, verb_weights, valid)
+
+
+def ttc_loss(ttc_preds, ttc_targets, verb_labels, beta: float, ttc_bg: bool = False, ttc_bg_val: float = 0.0):
+    """SmoothL1(beta) over rows whose verb target is not background
+    (ego_nao_trainer.py:346-359 uses the verb bg code to select rows)."""
+    is_bg = verb_labels == IGNORE_VERB_IDX_BG
+    valid = verb_labels >= 0
+    if ttc_bg:
+        targets = jnp.where(is_bg, ttc_bg_val, ttc_targets)
+    else:
+        targets = ttc_targets
+        valid = valid & ~is_bg
+    losses = smooth_l1(ttc_preds - targets, beta)
+    count = jnp.sum(valid)
+    total = jnp.sum(jnp.where(valid, losses, 0.0))
+    return jnp.where(count > 0, total / jnp.maximum(count, 1), 0.0)
+
+
+def lm_loss(lm_outputs, targets, last_noun_idx):
+    """LM auxiliary CE (ego_nao_trainer.py:361-374): per-image first gt noun
+    (remapping the moved class back to 0) and verb; mean of the two CEs."""
+    noun_t = targets["nouns"][:, 0]
+    noun_t = jnp.where(noun_t == last_noun_idx, 0, noun_t)
+    logp_n = jax.nn.log_softmax(lm_outputs["noun_logits"], axis=-1)
+    l_n = -jnp.take_along_axis(logp_n, noun_t[:, None], axis=-1).mean()
+    if lm_outputs.get("verb_logits") is None:
+        return l_n
+    verb_t = targets["verbs"][:, 0]
+    logp_v = jax.nn.log_softmax(lm_outputs["verb_logits"], axis=-1)
+    l_v = -jnp.take_along_axis(logp_v, verb_t[:, None], axis=-1).mean()
+    return (l_n + l_v) / 2.0
+
+
+def build_class_weights(noun_weights, verb_weights, bg_weight: float, verb_bg: bool, all_class_w: bool):
+    """abc_nao_trainer.py:32-54: optionally balanced per-class weights,
+    bg slot handling for nouns (index 0) and verbs (appended last)."""
+    import numpy as np
+
+    n = np.asarray(noun_weights, dtype=np.float64).copy() if all_class_w else np.ones(len(noun_weights))
+    v = np.asarray(verb_weights, dtype=np.float64).copy() if all_class_w else np.ones(len(verb_weights))
+    if bg_weight != 1:
+        n[0] = bg_weight
+        if verb_bg:
+            v = np.append(v, bg_weight)
+    else:
+        n[0] = n.mean()
+        v = np.append(v, v.mean())
+    return jnp.asarray(n, jnp.float32), jnp.asarray(v, jnp.float32)
