@@ -1,0 +1,109 @@
+"""STA mAP parity against the reference evaluator, loaded as an oracle."""
+
+import importlib.util
+import os
+
+import numpy as np
+import pytest
+
+from tests.conftest import require_reference
+from transfusion_tpu.metrics import STAMeanAveragePrecision
+
+
+def load_reference_metric():
+    ref = require_reference()
+    path = os.path.join(ref, "runner", "metrics_losses", "ego_metrics.py")
+    spec = importlib.util.spec_from_file_location("ref_ego_metrics", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def random_scene(rng, n_pred, n_gt, n_nouns=12, n_verbs=8, size=400):
+    def boxes(n):
+        xy = rng.integers(0, size, (n, 2))
+        wh = rng.integers(10, size // 2, (n, 2))
+        return np.concatenate([xy, xy + wh], axis=1).astype(np.int64)
+
+    preds = {
+        "boxes": boxes(n_pred),
+        "scores": np.round(rng.uniform(0, 1, n_pred), 3),
+        "nouns": rng.integers(0, n_nouns, n_pred),
+        "verbs": rng.integers(0, n_verbs, n_pred),
+        "ttcs": np.round(rng.uniform(0.25, 2.0, n_pred), 2),
+    }
+    labels = {
+        "boxes": boxes(n_gt),
+        "nouns": rng.integers(0, n_nouns, n_gt),
+        "verbs": rng.integers(0, n_verbs, n_gt),
+        "ttcs": np.round(rng.uniform(0.25, 2.0, n_gt), 2),
+    }
+    return preds, labels
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_metric_matches_reference_random(seed):
+    ref_mod = load_reference_metric()
+    rng = np.random.default_rng(seed)
+
+    ours = STAMeanAveragePrecision(top_k=5)
+    ref = ref_mod.STAMeanAveragePrecision(top_k=5)
+
+    for _ in range(25):
+        n_pred = int(rng.integers(1, 12))
+        n_gt = int(rng.integers(1, 4))
+        preds, labels = random_scene(rng, n_pred, n_gt)
+        ours.add({k: v.copy() for k, v in preds.items()}, {k: v.copy() for k, v in labels.items()})
+        ref.add({k: v.copy() for k, v in preds.items()}, {k: v.copy() for k, v in labels.items()})
+
+    got = ours.evaluate()
+    expect = ref.evaluate()
+    np.testing.assert_allclose(got, expect, rtol=1e-9, atol=1e-9)
+    assert ours.get_short_names() == ref.get_short_names()
+
+
+def test_metric_with_near_matches():
+    """Structured scene: half-overlapping boxes, borderline ttc differences."""
+    ref_mod = load_reference_metric()
+    ours = STAMeanAveragePrecision(top_k=5)
+    ref = ref_mod.STAMeanAveragePrecision(top_k=5)
+
+    labels = {
+        "boxes": np.array([[10, 10, 110, 110], [200, 200, 260, 300]]),
+        "nouns": np.array([3, 7]),
+        "verbs": np.array([1, 2]),
+        "ttcs": np.array([0.5, 1.0]),
+    }
+    preds = {
+        "boxes": np.array(
+            [[12, 12, 108, 108], [50, 50, 150, 150], [205, 195, 258, 303], [0, 0, 40, 40]]
+        ),
+        "scores": np.array([0.9, 0.85, 0.8, 0.7]),
+        "nouns": np.array([3, 3, 7, 5]),
+        "verbs": np.array([1, 0, 2, 2]),
+        "ttcs": np.array([0.74, 0.5, 1.26, 0.3]),  # first within tol, third just outside
+    }
+    ours.add(preds, labels)
+    ref.add({k: v.copy() for k, v in preds.items()}, {k: v.copy() for k, v in labels.items()})
+    np.testing.assert_allclose(ours.evaluate(), ref.evaluate(), rtol=1e-9)
+
+
+def test_perfect_predictions_score_100():
+    m = STAMeanAveragePrecision(top_k=5)
+    labels = {
+        "boxes": np.array([[10, 10, 110, 110]]),
+        "nouns": np.array([3]),
+        "verbs": np.array([1]),
+        "ttcs": np.array([0.5]),
+    }
+    preds = {
+        "boxes": labels["boxes"].copy(),
+        "scores": np.array([0.9]),
+        "nouns": labels["nouns"].copy(),
+        "verbs": labels["verbs"].copy(),
+        "ttcs": labels["ttcs"].copy(),
+    }
+    for _ in range(3):
+        m.add(preds, labels)
+    vals = m.evaluate()
+    assert all(abs(v - 100.0) < 1e-9 for v in vals)
