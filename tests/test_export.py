@@ -28,7 +28,7 @@ def test_detections_to_results_rescale_and_unswap():
     assert entries[0]["box"] == [20.0, 40.0, 100.0, 160.0]
     assert entries[0]["noun_category_id"] == 0
     assert entries[1]["noun_category_id"] == 4
-    assert entries[0]["score"] == 0.9 and entries[0]["verb_category_id"] == 2
+    assert abs(entries[0]["score"] - 0.9) < 1e-6 and entries[0]["verb_category_id"] == 2
 
 
 def test_write_and_fuse(tmp_path):
