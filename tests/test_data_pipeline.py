@@ -1,0 +1,188 @@
+"""Annotation pipeline, labels, splits, dataset, loader — end to end on the
+synthetic fixture, finishing with a real train step on a tiny model."""
+
+import numpy as np
+import pytest
+
+from tests.fixtures import make_synthetic_ego4d
+from transfusion_tpu.data.annotations import load_sta_annotations
+from transfusion_tpu.data.dataset import MAX_GT, EgoNaoDataset, build_narration_lookup, collate
+from transfusion_tpu.data.labels import (
+    balanced_class_weights,
+    frequencies_to_array,
+    generated_label_mapping,
+    noun_verb_frequencies,
+)
+from transfusion_tpu.data.loader import DataLoader
+from transfusion_tpu.data.splits import apply_split, load_split
+from transfusion_tpu.data.tokenizer import hash_vocab_tokenizer
+from transfusion_tpu.data.transforms import AugConfig
+
+
+@pytest.fixture(scope="module")
+def ego_fixture(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ego4d")
+    return make_synthetic_ego4d(root)
+
+
+@pytest.fixture(scope="module")
+def annots(ego_fixture):
+    return load_sta_annotations(
+        ego_fixture["root"],
+        narr_structure="{external_0}; {external_1}",
+        narr_external_paths=ego_fixture["externals"],
+    )
+
+
+def test_annotations_structure(annots):
+    assert annots.index.is_unique
+    assert set(annots["orig_split"]) == {"train", "val", "test"}
+    row = annots[annots["orig_split"] == "train"].iloc[0]
+    # Narration templated from both external files, "; "-joined.
+    assert "; person acting" in row["narration"]
+    # nao_narration is "verb noun [and ...]".
+    assert row["nao_narration"].split(" ")[0].startswith("verb")
+    # Underscore-suffixed category names truncated.
+    assert all("_" not in n for n in row["all_nouns"])
+    # det_sec = frame / fps.
+    assert row["det_sec"] == pytest.approx(row["Frame_no"] / 30.0)
+    # episode_action_id formatted clip_counter.
+    assert "_" in row["episode_action_id"]
+
+
+def test_label_mappings_and_weights(annots):
+    train = annots[annots["orig_split"] == "train"]
+    nmap = generated_label_mapping(train["all_nouns"].explode())
+    vmap = generated_label_mapping(train["all_verbs"].explode())
+    assert min(nmap.values()) == 1  # 0 reserved for bg
+
+    w = balanced_class_weights(train["all_nouns"].explode(), nmap, dampen=0.2)
+    assert w.shape == (max(nmap.values()) + 1,)
+    assert np.all(w > 0)
+
+    freqs = noun_verb_frequencies(train, nmap, vmap)
+    arr = frequencies_to_array(freqs, len(nmap) + 1, len(vmap) + 1)
+    assert arr.sum() > 0
+    # Every (noun, verb) pair in the data is counted.
+    row = train.iloc[0]
+    assert arr[nmap[row["all_nouns"][0]], vmap[row["all_verbs"][0]]] >= 1
+
+
+def test_split_and_dataset_batch(annots, ego_fixture):
+    split = load_split(annots, {"subset": 0})
+    train_df, val_df, test_df = apply_split(annots, split)
+    assert len(train_df) >= 8 and len(val_df) >= 3 and len(test_df) >= 1
+
+    nmap = generated_label_mapping(annots["all_nouns"].explode())
+    vmap = generated_label_mapping(annots["all_verbs"].explode())
+    aug = AugConfig(resize_spec=((96, 128), (128, 160)))
+    lookup = build_narration_lookup(annots, "current")
+    ds = EgoNaoDataset(
+        annots=train_df, frames_dir=ego_fixture["frames_dir"],
+        noun_mapping=nmap, verb_mapping=vmap, aug=aug,
+        narration_lookup=lookup, uid_col="video_id",
+    )
+    assert ds.num_nouns == len(nmap) + 1
+    assert ds.num_verbs == len(vmap) + 1
+
+    rng = np.random.default_rng(0)
+    ex = ds.get_example(0, rng, (96, 128), training=True)
+    assert ex["image"].shape == (96, 128, 3)
+    assert ex["boxes"].shape[1] == 4
+    assert (ex["boxes"][:, [0, 2]] <= 128 + 1e-3).all()
+    assert (ex["boxes"][:, [1, 3]] <= 96 + 1e-3).all()
+    assert len(ex["narration"]) > 0
+
+    tok = hash_vocab_tokenizer(max_length=24)
+    batch = collate([ds.get_example(i, rng, (96, 128), True) for i in range(4)], tok, 24)
+    assert batch["image"].shape == (4, 96, 128, 3)
+    assert batch["targets"]["boxes"].shape == (4, MAX_GT, 4)
+    assert batch["targets"]["valid"].any(axis=1).all()
+    assert batch["input_ids"].shape == (4, 24)
+    assert batch["orig_hw"].shape == (4, 2)
+
+
+def test_prev_narration_lookup(annots):
+    lookup = build_narration_lookup(annots, "prev_2", empty_prompt="nothing before")
+    train = annots[annots["orig_split"] == "train"]
+    # Earliest sample of a clip has no history -> empty prompt.
+    ordered = train.sort_values(["clip_id", "start_frame"])
+    first_uid = ordered.index[0]
+    assert lookup[first_uid] == "nothing before"
+    # A later sample in the same clip gets previous narrations, not its own.
+    same_clip = ordered[ordered["clip_id"] == ordered.iloc[0]["clip_id"]]
+    if len(same_clip) > 2:
+        later_uid = same_clip.index[-1]
+        assert lookup[later_uid] != ""
+        assert annots.loc[later_uid, "narration"] not in lookup[later_uid].split(", ")[-1:]
+
+
+def test_loader_and_train_step(annots, ego_fixture):
+    """Full stack: loader batches -> tiny TransFusion train step."""
+    import jax
+    import jax.numpy as jnp
+
+    from transfusion_tpu.models.detector import DetectorConfig
+    from transfusion_tpu.models.roi_heads import RoIConfig
+    from transfusion_tpu.models.rpn import RPNConfig
+    from transfusion_tpu.models.text_encoder import BertConfig
+    from transfusion_tpu.models.transfusion import FusionConfig, TransFusion, TransFusionConfig
+    from transfusion_tpu.train.optim import make_optimizer
+    from transfusion_tpu.train.step import LossConfig, init_state, make_train_step
+
+    split = load_split(annots, {"subset": 0})
+    train_df, _, _ = apply_split(annots, split)
+    nmap = generated_label_mapping(annots["all_nouns"].explode())
+    vmap = generated_label_mapping(annots["all_verbs"].explode())
+    aug = AugConfig(resize_spec=((64,), (64,)))
+    ds = EgoNaoDataset(
+        annots=train_df, frames_dir=ego_fixture["frames_dir"],
+        noun_mapping=nmap, verb_mapping=vmap, aug=aug,
+        narration_lookup=build_narration_lookup(annots, "current"), uid_col="video_id",
+    )
+    tok = hash_vocab_tokenizer(vocab_size=2000, max_length=16)
+    loader = DataLoader(ds, batch_size=4, tokenizer=tok, training=True, num_workers=2,
+                        lang_max_length=16)
+    batches = list(loader)
+    assert len(batches) == len(ds) // 4
+    b = batches[0]
+    assert b["image_hw"] == (64, 64)
+
+    cfg = TransFusionConfig(
+        detector=DetectorConfig(
+            roi=RoIConfig(num_nouns=ds.num_nouns, num_verbs=ds.num_verbs,
+                          representation_size=32, batch_size_per_image=8,
+                          detections_per_img=4, ttc_on=True),
+            rpn=RPNConfig(pre_nms_top_n_train=64, post_nms_top_n_train=32),
+        ),
+        fusion=FusionConfig(fpn_features=(3,), patch_h=(1,), patch_w=(1,),
+                            num_layers=(1,), token_dim=16, num_heads=2),
+        bert=BertConfig(vocab_size=2000, hidden_size=16, num_layers=1, num_heads=2,
+                        intermediate_size=32, max_position_embeddings=16),
+        out_mlp=16,
+    )
+    model = TransFusion(cfg)
+    tx, _ = make_optimizer({"name": "radam", "lr": 1e-3}, None, 1)
+
+    def to_model_batch(b):
+        return {
+            "image": jnp.asarray(b["image"]),
+            "input_ids": jnp.asarray(b["input_ids"]),
+            "attention_mask": jnp.asarray(b["attention_mask"]),
+            "targets": {
+                "boxes": jnp.asarray(b["targets"]["boxes"]),
+                "nouns": jnp.asarray(b["targets"]["nouns"]),
+                "verbs": jnp.asarray(b["targets"]["verbs"]),
+                "ttcs": jnp.asarray(b["targets"]["ttcs"]),
+                "valid": jnp.asarray(b["targets"]["valid"]),
+            },
+        }
+
+    mb = to_model_batch(b)
+    state = init_state(model, tx, dict(mb, image_hw=(64, 64)), jax.random.key(0))
+    loss_cfg = LossConfig(ttc_on=True, rpn_batch_size_per_image=16,
+                          last_noun_idx=ds.num_nouns - 1)
+    step = make_train_step(model, tx, loss_cfg, jnp.ones(ds.num_nouns), jnp.ones(ds.num_verbs),
+                           donate=False)
+    state, metrics = step(state, mb, jax.random.key(1), jnp.asarray([1.0, 1, 1, 1, 0]), (64, 64))
+    assert np.isfinite(float(metrics["loss"]))

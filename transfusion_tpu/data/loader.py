@@ -1,0 +1,106 @@
+"""Prefetching host data loader.
+
+Replaces the reference's torch DataLoader (6 workers, prefetch_factor 3,
+``runner/run_experiment.py:376-395``) with a thread-pool pipeline: JPEG
+decode + augmentation fan out over threads (PIL/cv2 release the GIL), batches
+assemble into pinned numpy arrays, and a background thread keeps a bounded
+queue ahead of the device step. Sharding over hosts/processes is by index
+stride, the jax.process_index-based replacement for DistributedSampler.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+from transfusion_tpu.data.dataset import EgoNaoDataset, collate
+
+
+class DataLoader:
+    def __init__(
+        self,
+        dataset: EgoNaoDataset,
+        batch_size: int,
+        tokenizer=None,
+        training: bool = True,
+        seed: int = 0,
+        num_workers: int = 4,
+        prefetch: int = 2,
+        shard_index: int = 0,
+        num_shards: int = 1,
+        lang_max_length: int = 128,
+        drop_last: bool | None = None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.tokenizer = tokenizer
+        self.training = training
+        self.seed = seed
+        self.num_workers = num_workers
+        self.prefetch = prefetch
+        self.shard_index = shard_index
+        self.num_shards = num_shards
+        self.lang_max_length = lang_max_length
+        self.drop_last = training if drop_last is None else drop_last
+        self.epoch = 0
+
+    def __len__(self):
+        n = len(range(self.shard_index, len(self.dataset), self.num_shards))
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _epoch_indices(self) -> np.ndarray:
+        idx = np.arange(len(self.dataset))
+        if self.training:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(idx)
+        return idx[self.shard_index :: self.num_shards]
+
+    def _make_batch(self, rng: np.random.Generator, indices: np.ndarray) -> dict:
+        buckets = self.dataset.aug.buckets
+        bucket = buckets[rng.integers(len(buckets))] if self.training else self.dataset.aug.eval_bucket()
+        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+            samples = list(
+                pool.map(
+                    lambda i: self.dataset.get_example(
+                        int(i), np.random.default_rng(rng.integers(2**31)), bucket, self.training
+                    ),
+                    indices,
+                )
+            )
+        batch = collate(samples, self.tokenizer, self.lang_max_length)
+        batch["image_hw"] = bucket
+        return batch
+
+    def __iter__(self):
+        indices = self._epoch_indices()
+        n = len(indices)
+        steps = n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        rng = np.random.default_rng((self.seed, self.epoch, self.shard_index))
+        self.epoch += 1
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                for s in range(steps):
+                    if stop.is_set():
+                        return
+                    chunk = indices[s * self.batch_size : (s + 1) * self.batch_size]
+                    q.put(self._make_batch(rng, chunk))
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    break
+                yield batch
+        finally:
+            stop.set()
