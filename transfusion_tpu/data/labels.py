@@ -15,9 +15,15 @@ import numpy as np
 import pandas as pd
 
 
-def generated_label_mapping(values) -> dict[str, int]:
-    """1-based mapping (0 reserved for background), sorted by name."""
-    return {k: i + 1 for i, k in enumerate(sorted(pd.unique(values)))}
+def generated_label_mapping(values, word_type: str = "noun") -> dict[str, int]:
+    """Generated mapping sorted by name. Nouns are 1-based (0 reserved for
+    background, like the reference generator); verbs are 0-based — the
+    reference generates 1-based verbs too (dataset_utils.py:84-86), but its
+    verb background convention is LAST index, so 1-based verb ids collide
+    with bg in the never-exercised generated path; the external-mapping path
+    (the shipped configs) uses 0-based verbs, which we follow here."""
+    offset = 1 if word_type == "noun" else 0
+    return {k: i + offset for i, k in enumerate(sorted(pd.unique(values)))}
 
 
 def external_label_mapping(values, word_type: str, mapping_file: str) -> dict[str, int]:
@@ -44,7 +50,7 @@ def external_label_mapping(values, word_type: str, mapping_file: str) -> dict[st
 def get_label_mapping(values, word_type: str, mapping_file: str | None) -> dict[str, int]:
     if mapping_file:
         return external_label_mapping(values, word_type, mapping_file)
-    return generated_label_mapping(values)
+    return generated_label_mapping(values, word_type)
 
 
 def balanced_class_weights(

@@ -138,7 +138,7 @@ class CrossFusionLevel(nn.Module):
 
         vis = nn.Conv(
             cfg.token_dim, (ph, pw), strides=(ph, pw), use_bias=False,
-            dtype=self.dtype, name="patch_to_token",
+            padding="VALID", dtype=self.dtype, name="patch_to_token",
         )(feat)
         gh, gw = vis.shape[1:3]
         n = gh * gw

@@ -1,0 +1,113 @@
+"""Config-driven experiment launcher (CLI).
+
+Public API mirror of the reference launcher (``runner/run_experiment.py``):
+
+    python -m transfusion_tpu.runner.run_experiment \
+        --config $CODE/runner/nao/configs/ego_nao_res50_ego4dv2.yml \
+        [--debug] [--run-val] [--run-test] [--resume-from PATH] [--epochs N]
+
+The existing reference YAMLs run unmodified (``${CODE}``/``${DATA}``/
+``${RUNS}`` interpolation included). wandb logging is optional: when the
+package is importable and WANDB_MODE isn't disabled, scalars/artifacts are
+mirrored there; the JSONL history + challenge JSONs in the run dir are the
+system of record either way.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+import time
+
+
+def get_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Run experiments.")
+    p.add_argument("--config", type=str, required=True, help="run config YAML")
+    p.add_argument("--debug", action="store_true", default=False,
+                   help="reduced samples + small batch end-to-end check")
+    p.add_argument("--resume-from", type=str, default="",
+                   help="path to a checkpoint directory to resume from")
+    p.add_argument("--run-test", action="store_true", default=False)
+    p.add_argument("--run-val", action="store_true", default=False)
+    p.add_argument("--epochs", type=int, default=None, help="override run.epochs")
+    p.add_argument("--run-dir", type=str, default=None,
+                   help="output directory (default: $RUNS/<experiment>/<timestamp>)")
+    p.add_argument("--mesh-model", type=int, default=1,
+                   help="model-parallel axis size (data axis uses the rest)")
+    p.add_argument("--do-not-log-checkpoints", action="store_true", default=False)
+    p.add_argument("--wandb-entity", default=None)
+    p.add_argument("--wandb-project", default="transfusion-tpu")
+    return p
+
+
+def make_run_dir(experiment: str, override: str | None) -> str:
+    if override:
+        os.makedirs(override, exist_ok=True)
+        return override
+    base = os.path.expandvars("$RUNS") if os.environ.get("RUNS") else "runs"
+    run_dir = os.path.join(base, experiment, time.strftime("%Y%m%d_%H%M%S"))
+    os.makedirs(run_dir, exist_ok=True)
+    return run_dir
+
+
+def maybe_wandb(config: dict, args) -> object | None:
+    try:
+        import wandb
+    except ImportError:
+        return None
+    if config.get("debug") and not config.get("force_wandb_logging"):
+        return None
+    return wandb.init(
+        project=args.wandb_project, entity=args.wandb_entity, config=dict(config)
+    )
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
+
+    from transfusion_tpu.config import derive_config, load_config
+    from transfusion_tpu.parallel.mesh import make_mesh
+    from transfusion_tpu.runner.trainer import EgoNaoTrainer
+
+    config = load_config(args.config)
+    if config.get("experiment") != "egonao":
+        raise NotImplementedError(f"experiment {config.get('experiment')!r} (only egonao is wired)")
+    config = derive_config(config, {"debug": args.debug, "resume_from": args.resume_from})
+    if args.run_test:
+        config["run"]["run_test"] = True
+    if args.run_val:
+        config["run"]["run_val"] = True
+
+    run_dir = make_run_dir(config["experiment"], args.run_dir)
+    with open(os.path.join(run_dir, "config.json"), "w") as fp:
+        json.dump(dict(config), fp, default=str, indent=1)
+    logging.info("run dir: %s", run_dir)
+
+    wb = maybe_wandb(config, args)
+    mesh = make_mesh(model=args.mesh_model)
+    trainer = EgoNaoTrainer(config, run_dir, debug=config["debug"], mesh=mesh)
+
+    resume = args.resume_from or None
+    if config["run"].get("run_test"):
+        trainer.ensure_state(resume)
+        result = trainer.evaluate(0, dataset=trainer.test_ds, source="test")
+        print(json.dumps(result.metrics, indent=1))
+    elif config["run"].get("run_val"):
+        trainer.ensure_state(resume)
+        result = trainer.evaluate(0, source="val")
+        print(json.dumps(result.metrics, indent=1))
+    else:
+        history = trainer.fit(epochs=args.epochs, resume_from=resume)
+        if wb is not None:
+            for rec in history:
+                wb.log(rec)
+        print(json.dumps(history[-1] if history else {}, indent=1))
+    if wb is not None:
+        wb.finish()
+
+
+if __name__ == "__main__":
+    main()

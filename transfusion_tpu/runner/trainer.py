@@ -1,0 +1,451 @@
+"""The config-driven training/eval orchestrator.
+
+Host-side equivalent of the reference's Lightning module + Trainer wiring
+(``runner/abc_nao_trainer.py`` + ``runner/nao/ego_nao_trainer.py`` +
+``runner/run_experiment.py:329-490``) on top of the jit'd steps:
+
+  * builds datasets/mappings/weights from a derived reference config;
+  * one compiled train program per resize bucket; gradient accumulation,
+    clipping, RAdam, epoch LR schedules inside the optimizer;
+  * per-epoch dynamics as dynamic inputs instead of recompiles: the lm loss
+    weight decay (``abc_nao_trainer.py:160-163``) and the epoch
+    unfreeze triggers (backbone ``train_ep``/``trainable_layers``, narration
+    encoder ``train_ep``) become multiplier trees applied to the optimizer
+    updates;
+  * validation runs the eval program per bucket, feeds the STA metric, and
+    writes the challenge JSON per epoch; checkpoints save every epoch.
+"""
+
+from __future__ import annotations
+
+import json
+import logging
+import os
+import time
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from transfusion_tpu.data.annotations import load_sta_annotations
+from transfusion_tpu.data.dataset import EgoNaoDataset, build_narration_lookup
+from transfusion_tpu.data.labels import (
+    balanced_class_weights,
+    frequencies_to_array,
+    get_label_mapping,
+    noun_verb_frequencies,
+)
+from transfusion_tpu.data.loader import DataLoader
+from transfusion_tpu.data.splits import apply_split, load_split
+from transfusion_tpu.data.tokenizer import WordPieceTokenizer, hash_vocab_tokenizer
+from transfusion_tpu.data.transforms import AugConfig
+from transfusion_tpu.metrics import STAMeanAveragePrecision
+from transfusion_tpu.models.transfusion import TransFusion, build_transfusion_config
+from transfusion_tpu.parallel.mesh import make_mesh, shard_batch
+from transfusion_tpu.runner.export import detections_to_results, write_result_json
+from transfusion_tpu.train.checkpoint import CheckpointManager, monitor_metric_name, replace_heads
+from transfusion_tpu.train.losses import build_class_weights
+from transfusion_tpu.train.optim import make_optimizer
+from transfusion_tpu.train.step import LossConfig, init_state, make_eval_step, make_train_step
+
+log = logging.getLogger("transfusion_tpu")
+
+
+def dataset_root(config: dict) -> str:
+    name = config["dataset"]["name"]
+    sub = {"ego4d": "Ego4d/v1", "ego4djpg": "Ego4d/v1", "ego4djpgv2": "Ego4d/v2"}[name]
+    return os.path.join(os.path.expandvars("$DATA"), sub)
+
+
+def unfreeze_multipliers(params, epoch: int, model_cfg: dict, narr_train_ep: int,
+                         narr_finetune_layers: int, num_bert_layers: int,
+                         freeze_backbone_at: int = -1):
+    """0/1 multiplier tree for optimizer updates implementing the epoch
+    triggers: backbone body frozen until model train_ep (and only
+    ``trainable_layers`` deepest stages ever unfreeze,
+    ``faster_rcnn_wrapper.py:135-146``); narration encoder frozen except the
+    last ``finetune_layers`` + out_mlp after its train_ep
+    (``narr_pooling_layers.py:86-113``); ``freeze_backbone_at_epoch`` freezes
+    everything but the RoI heads (``ego_nao_trainer.py:265-272``)."""
+    train_ep = model_cfg.get("train_ep", -1)
+    trainable_layers = model_cfg.get("trainable_layers", 0)
+    backbone_on = train_ep != -1 and epoch >= train_ep
+    # layers_to_train = [layer4, layer3, layer2, layer1, stem][:trainable_layers]
+    unfrozen_stages = {f"layer{4 - i}" for i in range(min(trainable_layers, 4))}
+    if trainable_layers == 5:
+        unfrozen_stages.add("stem")
+
+    narr_on = narr_train_ep != -1 and epoch >= narr_train_ep
+    unfrozen_bert = {f"layer_{num_bert_layers - 1 - i}" for i in range(narr_finetune_layers)}
+
+    roi_only = freeze_backbone_at != -1 and epoch >= freeze_backbone_at
+
+    def assign(path, leaf):
+        joined = "/".join(str(getattr(p, "key", p)) for p in path)
+        if roi_only:
+            trainable = ("box_head" in joined or "predictors" in joined)
+            return 1.0 if trainable else 0.0
+        if "backbone" in joined:
+            return 1.0 if backbone_on and any(s in joined for s in unfrozen_stages) else 0.0
+        if "narr_encoder" in joined:
+            if "out_mlp" in joined:
+                return 1.0
+            return 1.0 if narr_on and any(s in joined for s in unfrozen_bert) else 0.0
+        return 1.0
+
+    return jax.tree_util.tree_map_with_path(assign, params)
+
+
+@dataclass
+class EvalResult:
+    metrics: dict
+    result_json_path: str | None
+
+
+class EgoNaoTrainer:
+    def __init__(self, config: dict, run_dir: str, debug: bool = False, mesh=None, seed=None):
+        self.config = config
+        self.run = config["run"]
+        self.run_dir = run_dir
+        os.makedirs(run_dir, exist_ok=True)
+        self.debug = debug
+        self.seed = seed if seed is not None else self.run.get("seed", 42)
+        self.mesh = mesh if mesh is not None else make_mesh(model=1)
+
+        self._build_data()
+        self._build_model()
+        self._build_steps()
+        self.ckpt = CheckpointManager(run_dir)
+        self.monitor = monitor_metric_name(self.run["criterion"])
+        self.history: list[dict] = []
+
+    # ---------------------------------------------------------------- data
+    def _build_data(self):
+        cfg = self.config
+        ds_args = cfg["dataset"]["args"]
+        root = dataset_root(cfg)
+        annots = load_sta_annotations(
+            root,
+            resize_boxes=cfg["dataset"]["name"] == "ego4d",
+            narr_structure=ds_args.get("narr_structure", "{gt_narr}"),
+            narr_external_paths=ds_args.get("narr_external_paths", []),
+        )
+        if self.debug:
+            keep = annots["clip_id"].isin(annots["clip_id"].unique()[:2])
+            annots = annots[keep]
+
+        mapping_file = None
+        if ds_args.get("use_external_label_mapping"):
+            version = "v2" if cfg["dataset"]["name"].endswith("v2") else "v1"
+            mapping_file = os.path.expandvars(
+                f"$CODE/data_preprocessing/configs/label_mappings_{version}.json"
+            )
+            if not os.path.isfile(mapping_file):
+                mapping_file = None
+        self.noun_mapping = get_label_mapping(annots["all_nouns"].explode(), "noun", mapping_file)
+        self.verb_mapping = get_label_mapping(annots["all_verbs"].explode(), "verb", mapping_file)
+
+        split = load_split(annots, cfg["split"])
+        train_df, val_df, test_df = apply_split(annots, split, cfg["split"])
+        if self.debug:
+            train_df = train_df.iloc[:2000]
+
+        aug_cfg = cfg["aug"]
+        self.aug = AugConfig(
+            resize_spec=tuple(map(tuple, aug_cfg["resize_spec"]))
+            if isinstance(aug_cfg["resize_spec"][0], (list, tuple))
+            else tuple(aug_cfg["resize_spec"]),
+            crop_spec=tuple(aug_cfg.get("crop_spec", (1, 1))),
+            flip=aug_cfg.get("flip", True),
+            channel_order=aug_cfg.get("channel_order", "RGB"),
+            brightness=aug_cfg.get("brightness", 0.0),
+            contrast=aug_cfg.get("contrast", 0.0),
+            saturation=aug_cfg.get("saturation", 0.0),
+            hue=aug_cfg.get("hue", 0.0),
+            normalization=self.run.get("normalization", "ego4d_baseline"),
+        )
+
+        narr_args = self.run["narration_embeds"]["args"]
+        lookup = build_narration_lookup(
+            annots,
+            narr_args.get("strategy", "current"),
+            start_prompt=narr_args.get("start_prompt"),
+            end_prompt=narr_args.get("end_prompt"),
+            empty_prompt=narr_args.get("empty_prompt"),
+            final_concat=narr_args.get("final_concat"),
+        )
+
+        frames_dir = os.path.join(root, "object_frames")
+        uid_col = "video_uid" if cfg["dataset"]["name"].endswith("v2") else "video_id"
+        verb_bg = self.run.get("verb_bg", False)
+        mk = lambda df: EgoNaoDataset(
+            annots=df, frames_dir=frames_dir, noun_mapping=self.noun_mapping,
+            verb_mapping=self.verb_mapping, aug=self.aug, narration_lookup=lookup,
+            uid_col=uid_col, verb_bg=verb_bg,
+        )
+        self.train_ds, self.val_ds, self.test_ds = mk(train_df), mk(val_df), mk(test_df)
+        self.num_nouns = self.train_ds.num_nouns
+        self.num_verbs = self.train_ds.num_verbs
+
+        cutoff = ds_args.get("label_cutoff", {})
+        dampen_n = cutoff.get("dampen", cutoff.get("dampen_noun", 1.0))
+        dampen_v = cutoff.get("dampen", cutoff.get("dampen_verb", 1.0))
+        noun_w = balanced_class_weights(train_df["all_nouns"].explode(), self.noun_mapping, dampen_n)
+        verb_w = balanced_class_weights(train_df["all_verbs"].explode(), self.verb_mapping, dampen_v)
+        self.noun_w, self.verb_w = build_class_weights(
+            noun_w, verb_w, self.run.get("bg_weight", 1), self.run.get("verb_bg", False),
+            self.run.get("all_class_w", False),
+        )
+        freqs = noun_verb_frequencies(train_df, self.noun_mapping, self.verb_mapping)
+        self.noun_verb_freqs = jnp.asarray(
+            frequencies_to_array(freqs, self.num_nouns, self.num_verbs)
+        )
+
+        vocab_path = os.environ.get("TOKENIZER_VOCAB", "")
+        narr_max_len = 128
+        if vocab_path and os.path.isfile(vocab_path):
+            self.tokenizer = WordPieceTokenizer.from_vocab_file(vocab_path, max_length=narr_max_len)
+        else:
+            log.warning("no TOKENIZER_VOCAB file; using deterministic hash vocab")
+            self.tokenizer = hash_vocab_tokenizer(max_length=narr_max_len)
+
+    # --------------------------------------------------------------- model
+    def _build_model(self):
+        self.model_cfg = build_transfusion_config(self.config, self.num_nouns, self.num_verbs)
+        self.model = TransFusion(self.model_cfg)
+
+        # Global batch sizes, rounded up to the data-axis multiple (short
+        # batches are padded before sharding anyway).
+        data_axis = self.mesh.shape["data"]
+        rnd = lambda b: -(-max(b, 1) // data_axis) * data_axis
+        self.train_bs = rnd(self.run["train_bs"])
+        self.val_bs = rnd(self.run["val_bs"])
+        if self.debug:
+            self.train_bs = rnd(min(self.train_bs, 10))
+            self.val_bs = rnd(min(self.val_bs, 10))
+
+        steps_per_epoch = max(len(self.train_ds) // max(self.train_bs, 1), 1)
+        self.tx, self.lr_schedule = make_optimizer(
+            self.run["optimizer"],
+            self.run.get("scheduler"),
+            steps_per_epoch,
+            grad_clip=self.run.get("grad_clip"),
+            accumulate=self.run.get("accumulate_grad_batches", 1),
+        )
+
+        criterion = self.run["criterion"]
+        self.loss_cfg = LossConfig(
+            bbox_on=bool(criterion.get("bbox", 0)),
+            obj_prop_on=bool(criterion.get("obj_prop", 0)),
+            noun_on=bool(criterion.get("noun", 0)),
+            verb_on=bool(criterion.get("verb", 0)),
+            ttc_on=bool(criterion.get("ttc", 0)),
+            lm_on=bool(criterion.get("lm", 0)),
+            agg_mean=criterion.get("agg", "mean") == "mean",
+            ttc_beta=criterion.get("ttc_beta", 1),
+            verb_bg=self.run.get("verb_bg", False),
+            ttc_bg=bool(self.run.get("ttc_bg", False)),
+            ttc_bg_val=float(self.run.get("ttc_bg_val") or 0.0),
+            rpn_batch_size_per_image=self.config["model"]["rcnn_kwargs"].get(
+                "rpn_batch_size_per_image", 256
+            ),
+            last_noun_idx=self.num_nouns - 1,
+        )
+        # [bbox, noun, verb, ttc, lm] raw criterion weights (abc_nao_trainer.py:57-67).
+        self.loss_w = np.array(
+            [criterion.get(k, 0) for k in ("bbox", "noun", "verb", "ttc", "lm")], np.float32
+        )
+        self.lm_decay = criterion.get("lm_decay", 0)
+
+    def _build_steps(self):
+        self.train_step = make_train_step(
+            self.model, self.tx, self.loss_cfg, self.noun_w, self.verb_w, donate=False
+        )
+        self.eval_step = make_eval_step(
+            self.model, self.model_cfg.detector, noun_verb_frequencies=self.noun_verb_freqs
+        )
+        self.state = None
+
+    # ---------------------------------------------------------------- init
+    def _example_batch(self, bucket):
+        h, w = bucket
+        b = self.mesh.shape["data"]
+        lang = self.tokenizer.max_length
+        return {
+            "image": jnp.zeros((b, h, w, 3), jnp.float32),
+            "input_ids": jnp.ones((b, lang), jnp.int32),
+            "attention_mask": jnp.ones((b, lang), jnp.int32),
+            "targets": {
+                "boxes": jnp.tile(jnp.asarray([[10.0, 10.0, 50.0, 50.0]]), (b, 8, 1)).reshape(b, 8, 4),
+                "nouns": jnp.ones((b, 8), jnp.int32),
+                "verbs": jnp.ones((b, 8), jnp.int32),
+                "ttcs": jnp.full((b, 8), 0.9, jnp.float32),
+                "valid": jnp.concatenate([jnp.ones((b, 1), bool), jnp.zeros((b, 7), bool)], 1),
+            },
+            "image_hw": bucket,
+        }
+
+    def ensure_state(self, resume_from: str | None = None):
+        if self.state is not None:
+            return
+        bucket = self.aug.buckets[0]
+        self.state = init_state(
+            self.model, self.tx, self._example_batch(bucket), jax.random.key(self.seed)
+        )
+        if resume_from:
+            fresh = self.state.params
+            self.state = self.ckpt.restore(self.state, path=resume_from)
+            if self.run.get("replace_heads", False) == "all":
+                self.state = self.state.replace(params=replace_heads(self.state.params, fresh))
+
+    # ---------------------------------------------------------------- train
+    def _device_batch(self, batch, with_targets=True):
+        model_batch = {
+            "image": batch["image"],
+            "input_ids": batch["input_ids"],
+            "attention_mask": batch["attention_mask"],
+        }
+        if with_targets and "targets" in batch:
+            t = batch["targets"]
+            model_batch["targets"] = {
+                "boxes": t["boxes"],
+                "nouns": t["nouns"],
+                "verbs": t["verbs"],
+                "ttcs": t["ttcs"],
+                "valid": t["valid"],
+            }
+        # Pad the batch dim to a multiple of the data axis before sharding
+        # (short final eval batches; padded rows are dropped host-side).
+        data_axis = self.mesh.shape["data"]
+        bsz = model_batch["image"].shape[0]
+        pad = (-bsz) % data_axis
+
+        def prep(x):
+            x = np.asarray(x)
+            if pad:
+                x = np.concatenate([x, np.repeat(x[-1:], pad, axis=0)], axis=0)
+            return x
+
+        return shard_batch(self.mesh, jax.tree.map(prep, model_batch))
+
+    def train_epoch(self, epoch: int) -> dict:
+        self.ensure_state()
+        loader = DataLoader(
+            self.train_ds, self.train_bs, tokenizer=self.tokenizer, training=True,
+            seed=self.seed, shard_index=jax.process_index(), num_shards=jax.process_count(),
+            lang_max_length=self.tokenizer.max_length,
+        )
+        loader.epoch = epoch
+
+        # lm weight decay per epoch (abc_nao_trainer.py:160-163).
+        loss_w = self.loss_w.copy()
+        if self.lm_decay:
+            loss_w[-1] = loss_w[-1] * (self.lm_decay**epoch)
+
+        mult = unfreeze_multipliers(
+            self.state.params, epoch, self.config["model"],
+            self.run["narration_embeds"]["args"].get("train_ep", -1),
+            self.run["narration_embeds"]["args"].get("finetune_layers", 1),
+            self.model_cfg.bert.num_layers,
+            self.run.get("freeze_backbone_at_epoch", -1),
+        )
+
+        agg = {}
+        n_steps = 0
+        t0 = time.time()
+        rng = jax.random.key(self.seed + 1)
+        with self.mesh:
+            for batch in loader:
+                db = self._device_batch(batch)
+                self.state, metrics = self.train_step(
+                    self.state, db, rng, jnp.asarray(loss_w), tuple(batch["image_hw"]), mult
+                )
+                n_steps += 1
+                for k, v in metrics.items():
+                    agg[k] = agg.get(k, 0.0) + float(v)
+        out = {f"train_{k}": v / max(n_steps, 1) for k, v in agg.items()}
+        out["train_steps"] = n_steps
+        out["train_time_s"] = round(time.time() - t0, 1)
+        log.info("epoch %d train: %s", epoch, {k: round(v, 4) for k, v in out.items()})
+        return out
+
+    # ----------------------------------------------------------------- eval
+    def evaluate(self, epoch: int, dataset=None, source="val", export=True) -> EvalResult:
+        self.ensure_state()
+        ds = dataset if dataset is not None else self.val_ds
+        loader = DataLoader(
+            ds, self.val_bs, tokenizer=self.tokenizer, training=False,
+            seed=self.seed, shard_index=jax.process_index(), num_shards=jax.process_count(),
+            lang_max_length=self.tokenizer.max_length, drop_last=False,
+        )
+        metric = STAMeanAveragePrecision(top_k=5)
+        results: dict = {}
+        bucket = self.aug.eval_bucket()
+        with self.mesh:
+            for batch in loader:
+                db = self._device_batch(batch, with_targets=False)
+                dets = jax.device_get(self.eval_step(self.state.params, db, tuple(bucket)))
+                n_real = len(batch["uids"])
+                # host: metric + export (boxes back to original resolution).
+                for i in range(n_real):
+                    v = dets["valid"][i]
+                    ry = batch["orig_hw"][i][0] / bucket[0]
+                    rx = batch["orig_hw"][i][1] / bucket[1]
+                    pred_boxes = dets["boxes"][i][v] * np.array([rx, ry, rx, ry])
+                    preds = {
+                        "boxes": pred_boxes.astype(np.int64),
+                        "scores": dets["scores"][i][v],
+                        "nouns": dets["nouns"][i][v],
+                        "verbs": dets["verbs"][i][v],
+                        "ttcs": dets["ttcs"][i][v],
+                    }
+                    t = batch["targets"]
+                    gv = t["valid"][i]
+                    sy = batch["orig_hw"][i][0] / batch["image"].shape[1]
+                    sx = batch["orig_hw"][i][1] / batch["image"].shape[2]
+                    labels = {
+                        "boxes": (t["boxes"][i][gv] * np.array([sx, sy, sx, sy])).astype(np.int64),
+                        "nouns": t["nouns"][i][gv],
+                        "verbs": t["verbs"][i][gv],
+                        "ttcs": t["ttcs"][i][gv],
+                    }
+                    metric.add(preds, labels)
+                results.update(
+                    detections_to_results(
+                        jax.tree.map(lambda x: x[:n_real], dets),
+                        batch["uids"], batch["orig_hw"], bucket,
+                        last_noun_idx=self.num_nouns - 1,
+                    )
+                )
+
+        values = metric.evaluate()
+        metrics = {f"{name}_{source}": v for name, v in zip(metric.get_short_names(), values)}
+        log.info("epoch %d %s: %s", epoch, source, {k: round(v, 3) for k, v in metrics.items()})
+
+        path = None
+        if export:
+            shard = f"_shard{jax.process_index()}" if jax.process_count() > 1 else ""
+            path = os.path.join(
+                self.run_dir, "results", f"{source}_epoch{epoch}{shard}.json"
+            )
+            write_result_json(results, path, epoch=epoch)
+        return EvalResult(metrics=metrics, result_json_path=path)
+
+    # ------------------------------------------------------------------ fit
+    def fit(self, epochs: int | None = None, resume_from: str | None = None):
+        epochs = epochs if epochs is not None else self.run["epochs"]
+        self.ensure_state(resume_from)
+        val_every = max(int(self.run.get("val_every", 1.0)), 1)
+        for epoch in range(epochs):
+            train_metrics = self.train_epoch(epoch)
+            record = {"epoch": epoch, **train_metrics}
+            if (epoch + 1) % val_every == 0:
+                result = self.evaluate(epoch)
+                record.update(result.metrics)
+            self.ckpt.save(epoch, self.state, metrics=record)
+            self.history.append(record)
+            with open(os.path.join(self.run_dir, "history.jsonl"), "a") as fp:
+                fp.write(json.dumps(record) + "\n")
+        self.ckpt.wait()
+        return self.history

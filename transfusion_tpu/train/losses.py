@@ -123,11 +123,13 @@ def lm_loss(lm_outputs, targets, last_noun_idx):
     noun_t = targets["nouns"][:, 0]
     noun_t = jnp.where(noun_t == last_noun_idx, 0, noun_t)
     logp_n = jax.nn.log_softmax(lm_outputs["noun_logits"], axis=-1)
+    noun_t = jnp.clip(noun_t, 0, logp_n.shape[-1] - 1)
     l_n = -jnp.take_along_axis(logp_n, noun_t[:, None], axis=-1).mean()
     if lm_outputs.get("verb_logits") is None:
         return l_n
     verb_t = targets["verbs"][:, 0]
     logp_v = jax.nn.log_softmax(lm_outputs["verb_logits"], axis=-1)
+    verb_t = jnp.clip(verb_t, 0, logp_v.shape[-1] - 1)
     l_v = -jnp.take_along_axis(logp_v, verb_t[:, None], axis=-1).mean()
     return (l_n + l_v) / 2.0
 

@@ -109,9 +109,11 @@ def make_train_step(
     vector [bbox, noun, verb, ttc, lm] (lm entry decays per epoch,
     abc_nao_trainer.py:160-163)."""
 
-    def step_fn(state: TrainState, batch, rng, loss_w, image_hw):
+    def step_fn(state: TrainState, batch, rng, loss_w, image_hw, update_mult=None):
         # image_hw is static: it selects the compile bucket (one program per
-        # resize pair, the recompile-free multiscale scheme).
+        # resize pair, the recompile-free multiscale scheme). update_mult is
+        # an optional 0/1 tree implementing the epoch unfreeze triggers as a
+        # dynamic input (no recompile when freezing changes).
         batch = dict(batch, image_hw=image_hw)
         rng = jax.random.fold_in(rng, state.step)
         r_sampling, r_dropout, r_rpn = jax.random.split(rng, 3)
@@ -132,6 +134,8 @@ def make_train_step(
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        if update_mult is not None:
+            updates = jax.tree.map(lambda u, m: u * m, updates, update_mult)
         params = optax.apply_updates(state.params, updates)
         metrics = {"loss": loss, **metrics}
         return TrainState(step=state.step + 1, params=params, opt_state=opt_state), metrics
