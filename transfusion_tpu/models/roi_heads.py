@@ -192,10 +192,14 @@ def postprocess_detections(
     coordinates — callers rescale to original size), scores, nouns, verbs,
     ttcs, prop_idx, valid.
     """
-    class_logits = outputs["class_logits"]
-    verb_logits = outputs["verb_logits"]
-    box_regression = outputs["box_regression"]
-    ttcs = outputs["ttcs"]
+    # Postprocess runs in f32 regardless of the model compute dtype: bf16 box
+    # coordinates at 1024-px scale lose whole pixels.
+    f32 = lambda x: None if x is None else x.astype(jnp.float32)
+    class_logits = f32(outputs["class_logits"])
+    verb_logits = f32(outputs["verb_logits"])
+    box_regression = f32(outputs["box_regression"])
+    ttcs = f32(outputs["ttcs"])
+    proposals = f32(proposals)
     bsz, r, c = class_logits.shape
 
     pred_boxes = BOX_CODER.decode(box_regression.reshape(bsz, r, c, 4), proposals)

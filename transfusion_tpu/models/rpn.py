@@ -104,8 +104,9 @@ def generate_proposals(
         cfg.aspect_ratios,
     )
 
-    obj = _flatten_levels(objectness, 1, keys)[..., 0]  # [B, N]
-    dlt = _flatten_levels(deltas, 4, keys)  # [B, N, 4]
+    # Proposal decode/NMS in f32 independent of the model compute dtype.
+    obj = _flatten_levels(objectness, 1, keys)[..., 0].astype(jnp.float32)  # [B, N]
+    dlt = _flatten_levels(deltas, 4, keys).astype(jnp.float32)  # [B, N, 4]
     bsz = obj.shape[0]
 
     coder = BoxCoder((1.0, 1.0, 1.0, 1.0))

@@ -92,48 +92,132 @@ def fpn_levels(rois: jnp.ndarray, num_levels: int = 4) -> jnp.ndarray:
     return (jnp.clip(lvl, 2, 2 + num_levels - 1) - 2).astype(jnp.int32)
 
 
-@partial(jax.jit, static_argnames=("output_size", "sampling_ratio", "chunk"))
+@partial(jax.jit, static_argnames=("output_size", "sampling_ratio"))
 def multiscale_roi_align(
     feats: dict[str, jnp.ndarray],
     rois: jnp.ndarray,
     image_hw: tuple,
     output_size: int = 7,
     sampling_ratio: int = 2,
-    chunk: int | None = None,
 ) -> jnp.ndarray:
-    """Batched multiscale RoIAlign.
+    """Batched multiscale RoIAlign via ONE gather over a packed pyramid.
 
     feats: {"0".."3": [B, H_l, W_l, C]} (the 'pool' level is not pooled over,
     matching torchvision box_roi_pool featmap_names).
     rois: [B, R, 4] in image coordinates. Returns [B, R, P, P, C].
 
-    Each level is evaluated for every RoI and the canonical level selected by
-    mask — 4x gather cost for zero dynamic shapes; the Pallas kernel will
-    specialize this later.
+    All levels are flattened into a single [B, S, C] buffer; each RoI's
+    canonical level contributes a per-roi scale/offset/stride, so the
+    bilinear corner fetches become one flat gather instead of evaluating
+    every level for every RoI (4x less gather traffic than the naive masked
+    formulation — this op dominated eval step time before).
     """
     keys = sorted([k for k in feats if k.isdigit()], key=int)
+    shapes = [feats[k].shape[1:3] for k in keys]
+    max_w = max(w for _, w in shapes)
+    row_offsets_np = [0]
+    for h, _ in shapes:
+        row_offsets_np.append(row_offsets_np[-1] + h)
 
-    def per_image(feats_i, rois_i):
-        lvl = fpn_levels(rois_i, len(keys))
+    bsz = rois.shape[0]
+    c = feats[keys[0]].shape[-1]
+    # Pack levels vertically at a common (max) width; the padding columns are
+    # never addressed because sample x-coords clamp to each level's width.
+    packed = jnp.concatenate(
+        [
+            jnp.pad(feats[k], ((0, 0), (0, 0), (0, max_w - feats[k].shape[2]), (0, 0)))
+            for k in keys
+        ],
+        axis=1,
+    )  # [B, H_total, max_w, C]
 
-        def run(rois_chunk, lvl_chunk):
-            acc = None
-            for i, k in enumerate(keys):
-                scale = feats_i[k].shape[0] / image_hw[0]
-                out = roi_align(feats_i[k], rois_chunk, scale, output_size, sampling_ratio)
-                sel = (lvl_chunk == i)[:, None, None, None]
-                acc = jnp.where(sel, out, 0.0 if acc is None else acc)
-            return acc
+    heights = jnp.asarray([h for h, _ in shapes], jnp.float32)
+    widths = jnp.asarray([w for _, w in shapes], jnp.float32)
+    offsets = jnp.asarray(row_offsets_np[:-1], jnp.int32)
+    scales = heights / image_hw[0]
 
-        if chunk is None or rois_i.shape[0] <= chunk:
-            return run(rois_i, lvl)
-        n = rois_i.shape[0]
-        pad = (-n) % chunk
-        rp = jnp.pad(rois_i, ((0, pad), (0, 0)))
-        lp = jnp.pad(lvl, (0, pad))
-        rp = rp.reshape(-1, chunk, 4)
-        lp = lp.reshape(-1, chunk)
-        out = jax.lax.map(lambda args: run(*args), (rp, lp))
-        return out.reshape(-1, *out.shape[2:])[:n]
+    p, r = output_size, sampling_ratio
+    lvl = fpn_levels(rois.reshape(-1, 4), len(keys)).reshape(bsz, -1)  # [B, R]
+    roi_scale = scales[lvl]  # [B, R]
+    roi_h = heights[lvl]
+    roi_w = widths[lvl]
+    roi_off = offsets[lvl]
 
-    return jax.vmap(per_image)(feats, rois)
+    x1 = rois[..., 0] * roi_scale - 0.5
+    y1 = rois[..., 1] * roi_scale - 0.5
+    x2 = rois[..., 2] * roi_scale - 0.5
+    y2 = rois[..., 3] * roi_scale - 0.5
+    bin_w = (x2 - x1) / p
+    bin_h = (y2 - y1) / p
+
+    cell = (jnp.arange(p)[:, None] + (jnp.arange(r)[None, :] + 0.5) / r).reshape(-1)  # [P*r]
+    ys = y1[..., None] + bin_h[..., None] * cell  # [B, R, P*r]
+    xs = x1[..., None] + bin_w[..., None] * cell
+
+    n_rois = rois.shape[1]
+    yy = jnp.broadcast_to(ys[..., :, None], (bsz, n_rois, p * r, p * r))
+    xx = jnp.broadcast_to(xs[..., None, :], (bsz, n_rois, p * r, p * r))
+
+    h_l = roi_h[..., None, None]
+    w_l = roi_w[..., None, None]
+    outside = (yy < -1.0) | (yy > h_l) | (xx < -1.0) | (xx > w_l)
+    y = jnp.clip(yy, 0.0, h_l - 1)
+    x = jnp.clip(xx, 0.0, w_l - 1)
+    y0 = jnp.floor(y)
+    x0 = jnp.floor(x)
+    y1i = jnp.minimum(y0 + 1, h_l - 1)
+    x1i = jnp.minimum(x0 + 1, w_l - 1)
+    ly = (y - y0).astype(packed.dtype)
+    lx = (x - x0).astype(packed.dtype)
+    hy = 1.0 - ly
+    hx = 1.0 - lx
+
+    # One gather of a contiguous [2, 2, C] slice per sample point. The slice
+    # anchors at (min(y0, h-2), min(x0, w-2)) so clamped edge points stay in
+    # range; the four bilinear weights are re-binned onto the 2x2 slice by
+    # each corner's offset from the anchor.
+    sy = jnp.minimum(y0, h_l - 2).astype(jnp.int32)
+    sx = jnp.minimum(x0, w_l - 2).astype(jnp.int32)
+    sy = jnp.maximum(sy, 0) + roi_off[..., None, None]
+    sx = jnp.maximum(sx, 0)
+
+    dy0 = (y0.astype(jnp.int32) + roi_off[..., None, None] - sy).astype(packed.dtype)
+    dy1 = (y1i.astype(jnp.int32) + roi_off[..., None, None] - sy).astype(packed.dtype)
+    dx0 = (x0.astype(jnp.int32) - sx).astype(packed.dtype)
+    dx1 = (x1i.astype(jnp.int32) - sx).astype(packed.dtype)
+
+    # w2[a, b] = sum of corner weights landing on slice cell (a, b).
+    def bin_w(da, db, w):
+        return (
+            w * (1 - da) * (1 - db),  # (0, 0)
+            w * (1 - da) * db,        # (0, 1)
+            w * da * (1 - db),        # (1, 0)
+            w * da * db,              # (1, 1)
+        )
+
+    w00 = bin_w(dy0, dx0, hy * hx)
+    w01 = bin_w(dy0, dx1, hy * lx)
+    w10 = bin_w(dy1, dx0, ly * hx)
+    w11 = bin_w(dy1, dx1, ly * lx)
+    w2 = jnp.stack(
+        [sum(t[i] for t in (w00, w01, w10, w11)) for i in range(4)], axis=-1
+    )  # [B, R, S, S, 4]
+    w2 = jnp.where(outside[..., None], 0.0, w2)
+
+    starts = jnp.stack([sy, sx], axis=-1).reshape(bsz, -1, 2)  # [B, N, 2]
+
+    dnums = jax.lax.GatherDimensionNumbers(
+        offset_dims=(1, 2, 3), collapsed_slice_dims=(), start_index_map=(0, 1)
+    )
+
+    def gather_image(op, idx):
+        return jax.lax.gather(
+            op, idx, dnums, slice_sizes=(2, 2, c), mode=jax.lax.GatherScatterMode.CLIP
+        )
+
+    slices = jax.vmap(gather_image)(packed, starts)  # [B, N, 2, 2, C]
+    s = p * r
+    slices = slices.reshape(bsz, n_rois, s, s, 4, c)
+    val = jnp.einsum("brijk,brijkc->brijc", w2.astype(packed.dtype), slices)
+    val = val.reshape(bsz, n_rois, p, r, p, r, c)
+    return val.mean(axis=(3, 5))

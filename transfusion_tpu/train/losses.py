@@ -33,6 +33,7 @@ def box_loss(box_regression, noun_labels, reg_targets):
     box_regression: [B, S, 4*C]; noun_labels: [B, S] (-1 padding, 0 bg);
     reg_targets: [B, S, 4].
     """
+    box_regression = box_regression.astype(jnp.float32)
     b, s, _ = box_regression.shape
     reg = box_regression.reshape(b, s, -1, 4)
     cls = jnp.clip(noun_labels, 0)
@@ -73,7 +74,7 @@ def rpn_loss(key, objectness, pred_deltas, labels, reg_targets, batch_size_per_i
 def weighted_cross_entropy(logits, targets, weights, valid):
     """torch CrossEntropyLoss(weight=w, reduction="mean") with validity mask:
     sum(w_t * nll) / sum(w_t) over valid rows."""
-    logp = jax.nn.log_softmax(logits, axis=-1)
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     t = jnp.clip(targets, 0)
     nll = -jnp.take_along_axis(logp, t[..., None], axis=-1)[..., 0]
     w = weights[t] * valid.astype(logits.dtype)
