@@ -80,16 +80,33 @@ class EncoderLayer(nn.Module):
             return nn.Dense(self.dim, dtype=self.dtype, name=name)(inp).reshape(b, l, self.num_heads, head_dim)
 
         q, k, v = proj("q_proj", x), proj("k_proj", x), proj("v_proj", x)
-        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(head_dim).astype(self.dtype)
-        if key_padding_mask is not None:
-            # True = ignore (torch convention).
-            scores = jnp.where(key_padding_mask[:, None, None, :], -1e9, scores)
-        if attn_mask is not None:
-            # [L, L] bool, True = blocked.
-            scores = jnp.where(attn_mask[None, None], -1e9, scores)
-        probs = nn.softmax(scores, axis=-1)
-        probs = nn.Dropout(self.dropout, deterministic=deterministic)(probs)
-        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, l, d)
+        # The Pallas attention kernel (ops.attention.flash_self_attention)
+        # beats the XLA formulation ~40x in isolation at level-0 shapes, but
+        # measured end-to-end it composes slightly WORSE than XLA's own
+        # attention fusion here (43-44 vs 45-49 fps on the flagship bench),
+        # likely because the pad/transpose boundary breaks producer fusion.
+        # It stays available behind this flag for profiling-driven re-entry.
+        use_flash_kernel = False
+        if deterministic and attn_mask is None and use_flash_kernel:
+            from transfusion_tpu.ops.attention import flash_self_attention
+
+            ctx = flash_self_attention(
+                q.transpose(0, 2, 1, 3),
+                k.transpose(0, 2, 1, 3),
+                v.transpose(0, 2, 1, 3),
+                key_padding_mask,
+            ).transpose(0, 2, 1, 3).reshape(b, l, d)
+        else:
+            scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(head_dim).astype(self.dtype)
+            if key_padding_mask is not None:
+                # True = ignore (torch convention).
+                scores = jnp.where(key_padding_mask[:, None, None, :], -1e9, scores)
+            if attn_mask is not None:
+                # [L, L] bool, True = blocked.
+                scores = jnp.where(attn_mask[None, None], -1e9, scores)
+            probs = nn.softmax(scores, axis=-1)
+            probs = nn.Dropout(self.dropout, deterministic=deterministic)(probs)
+            ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, l, d)
         attn_out = nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(ctx)
         attn_out = nn.Dropout(self.dropout, deterministic=deterministic)(attn_out)
         x = nn.LayerNorm(name="norm1")(x + attn_out)
