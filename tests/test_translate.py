@@ -1,0 +1,167 @@
+"""Checkpoint translation: functional oracles for layout-sensitive pieces and
+coverage over a synthetic reference state dict."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+import torch.nn as nn
+
+from transfusion_tpu.models.roi_heads import BoxHead
+from transfusion_tpu.models.text_encoder import BertConfig, BertEncoder
+from transfusion_tpu.tools.translate_checkpoint import (
+    fc6_kernel,
+    linear_kernel,
+    strip_wrapper_prefixes,
+    translate_minilm,
+    translate_reference_checkpoint,
+)
+
+
+def test_fc6_permutation_functional(rng):
+    """torch TwoMLP on NCHW-flattened pooled features == our BoxHead on NHWC
+    after fc6 column permutation."""
+    repr_size, c, p = 48, 16, 7
+    fc6 = nn.Linear(c * p * p, repr_size)
+    fc7 = nn.Linear(repr_size, repr_size)
+    pooled = rng.normal(0, 1, (2, 5, c, p, p)).astype(np.float32)  # NCHW per roi
+
+    with torch.no_grad():
+        t = torch.from_numpy(pooled).flatten(start_dim=2)
+        ref = torch.relu(fc7(torch.relu(fc6(t)))).numpy()
+
+    head = BoxHead(representation_size=repr_size)
+    pooled_nhwc = jnp.asarray(pooled.transpose(0, 1, 3, 4, 2))  # [B, R, P, P, C]
+    params = head.init(jax.random.key(0), pooled_nhwc)["params"]
+    params["fc6"]["kernel"] = jnp.asarray(fc6_kernel(fc6.weight, pooled=p, channels=c))
+    params["fc6"]["bias"] = jnp.asarray(fc6.bias.detach().numpy())
+    params["fc7"]["kernel"] = jnp.asarray(linear_kernel(fc7.weight))
+    params["fc7"]["bias"] = jnp.asarray(fc7.bias.detach().numpy())
+    got = np.asarray(head.apply({"params": params}, pooled_nhwc))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_strip_wrapper_prefixes():
+    sd = {
+        "model.rcnn_model.rcnn_to_wrap.backbone.body.conv1.weight": 1,
+        "model.rcnn_model.rcnn_to_wrap.rpn.rpn_wrap.head.conv.weight": 2,
+        "model.rcnn_model.rcnn_to_wrap.roi_heads.roi_head_wrap.box_head.fc6.weight": 3,
+        "model.narr_pooling_layer.out_mlp.weight": 4,
+    }
+    out = strip_wrapper_prefixes(sd)
+    assert out["backbone.body.conv1.weight"] == 1
+    assert out["rpn.head.conv.weight"] == 2
+    assert out["roi_heads.box_head.fc6.weight"] == 3
+    assert out["narr_pooling_layer.out_mlp.weight"] == 4
+
+
+def test_translate_minilm_via_hf(rng):
+    import transformers
+
+    hf = transformers.BertModel(
+        transformers.BertConfig(
+            vocab_size=120, hidden_size=32, num_hidden_layers=2, num_attention_heads=4,
+            intermediate_size=64, max_position_embeddings=40, hidden_dropout_prob=0.0,
+            attention_probs_dropout_prob=0.0,
+        )
+    ).eval()
+    cfg = BertConfig(vocab_size=120, hidden_size=32, num_layers=2, num_heads=4,
+                     intermediate_size=64, max_position_embeddings=40, dropout=0.0)
+    enc = BertEncoder(cfg)
+    ids = rng.integers(0, 120, (2, 9)).astype(np.int32)
+    mask = np.ones((2, 9), np.int32)
+    params = enc.init(jax.random.key(0), jnp.asarray(ids), jnp.asarray(mask))["params"]
+
+    sd = {k: v for k, v in hf.state_dict().items()}
+    new_params, report = translate_minilm(sd, params)
+    assert not report["unmatched_source"], report["unmatched_source"][:5]
+    assert not report["missing_target"] and not report["shape_mismatch"]
+
+    with torch.no_grad():
+        ref = hf(torch.from_numpy(ids.astype(np.int64)), torch.from_numpy(mask.astype(np.int64)))
+    got = np.asarray(enc.apply({"params": jax.tree.map(jnp.asarray, new_params)},
+                               jnp.asarray(ids), jnp.asarray(mask)))
+    np.testing.assert_allclose(got, ref.last_hidden_state.numpy(), rtol=1e-4, atol=1e-4)
+
+
+def test_translate_full_reference_checkpoint_coverage():
+    """A synthetic torch state dict with reference key names translates into
+    the flagship param tree with full coverage on matching shapes."""
+    from transfusion_tpu.models.detector import DetectorConfig
+    from transfusion_tpu.models.roi_heads import RoIConfig
+    from transfusion_tpu.models.rpn import RPNConfig
+    from transfusion_tpu.models.text_encoder import BertConfig as BC
+    from transfusion_tpu.models.transfusion import FusionConfig, TransFusion, TransFusionConfig
+
+    cfg = TransFusionConfig(
+        detector=DetectorConfig(
+            roi=RoIConfig(num_nouns=7, num_verbs=5, representation_size=64,
+                          batch_size_per_image=8, detections_per_img=4, ttc_on=True),
+            rpn=RPNConfig(pre_nms_top_n_test=32, post_nms_top_n_test=16),
+        ),
+        fusion=FusionConfig(fpn_features=(2, 3), patch_h=(2, 1), patch_w=(2, 1),
+                            num_layers=(1, 1), token_dim=32, num_heads=4),
+        bert=BC(vocab_size=100, hidden_size=24, num_layers=1, num_heads=4,
+                intermediate_size=48, max_position_embeddings=16),
+        out_mlp=32,
+        lm_on=True,
+    )
+    model = TransFusion(cfg)
+    batch = {
+        "image": jnp.zeros((1, 64, 64, 3)),
+        "image_hw": (64, 64),
+        "input_ids": jnp.ones((1, 8), jnp.int32),
+        "attention_mask": jnp.ones((1, 8), jnp.int32),
+    }
+    params = model.init({"params": jax.random.key(0)}, batch, False)["params"]
+
+    # Build a synthetic torch state dict with the reference names/shapes for a
+    # subset of weight families across all regions of the tree.
+    rng = np.random.default_rng(1)
+    t = lambda *s: torch.from_numpy(rng.normal(0, 0.02, s).astype(np.float32))
+    sd = {
+        "backbone.body.conv1.weight": t(64, 3, 7, 7),
+        "backbone.body.bn1.weight": t(64),
+        "backbone.body.bn1.running_var": torch.abs(t(64)) + 0.5,
+        "backbone.body.layer2.0.conv2.weight": t(128, 128, 3, 3),
+        "backbone.body.layer2.0.downsample.0.weight": t(512, 256, 1, 1),
+        "backbone.body.layer2.0.downsample.1.running_mean": t(512),
+        "backbone.fpn.inner_blocks.2.weight": t(256, 1024, 1, 1),
+        "backbone.fpn.layer_blocks.0.0.weight": t(256, 256, 3, 3),
+        "rpn.head.conv.weight": t(256, 256, 3, 3),
+        "rpn.head.cls_logits.bias": t(3),
+        "roi_heads.box_head.fc6.weight": t(64, 256 * 49),
+        "roi_heads.box_head.fc7.weight": t(64, 64),
+        "roi_heads.noun_classifier.weight": t(7, 64),
+        "roi_heads.verb_classifier.bias": t(5),
+        "roi_heads.box_regressor.1.weight": t(28, 64),
+        "roi_heads.ttc_pred_layer.weight": t(1, 64),
+        "patches_to_token.0.weight": t(32, 1024, 2, 2),
+        "tokens_to_features.1.linear.weight": t(2048, 32),
+        "cross_fusion_encoders.0.image_kind_embedding": t(1, 1, 32),
+        "cross_fusion_encoders.0.t_encoder.layers.0.self_attn.in_proj_weight": t(96, 32),
+        "cross_fusion_encoders.0.t_encoder.layers.0.self_attn.in_proj_bias": t(96),
+        "cross_fusion_encoders.0.t_encoder.layers.0.self_attn.out_proj.weight": t(32, 32),
+        "cross_fusion_encoders.0.t_encoder.layers.0.linear1.weight": t(64, 32),
+        "cross_fusion_encoders.0.t_encoder.layers.0.norm2.weight": t(32),
+        "cross_fusion_encoders.1.final_norm_layer.bias": t(32),
+        "narr_pooling_layer.out_mlp.weight": t(32, 24),
+        "narr_pooling_layer.encoder.0.auto_model.embeddings.word_embeddings.weight": t(100, 24),
+        "narr_pooling_layer.encoder.0.auto_model.encoder.layer.0.intermediate.dense.weight": t(48, 24),
+        "lm_layer.mlp_noun.weight": t(6, 32),
+        "lm_layer.ln.weight": t(32),
+        "some.unknown.key": t(3),
+    }
+    new_params, report = translate_reference_checkpoint(
+        sd, params, fpn_features=(2, 3), patch_hw=((2, 2), (1, 1))
+    )
+    assert report["unmatched_source"] == ["some.unknown.key"], report["unmatched_source"]
+    assert not report["missing_target"], report["missing_target"]
+    assert not report["shape_mismatch"], report["shape_mismatch"]
+    assert report["translated"] >= 28
+
+    # Spot-check one translated value landed with the layout transform.
+    got = new_params["rcnn"]["backbone"]["stem"]["conv"]["kernel"]
+    np.testing.assert_allclose(
+        np.asarray(got), sd["backbone.body.conv1.weight"].numpy().transpose(2, 3, 1, 0), rtol=1e-6
+    )
