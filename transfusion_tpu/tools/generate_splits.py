@@ -41,10 +41,14 @@ def generate_split(
             gss = GroupShuffleSplit(n_splits=1, test_size=val_frac + test_frac, random_state=seed + s)
             _, holdout = next(iter(gss.split(df, groups=groups)))
         holdout = np.asarray(holdout)
-        rng.shuffle(holdout)
-        n_test = int(len(holdout) * test_frac / (val_frac + test_frac))
-        labels[holdout[:n_test]] = "test"
-        labels[holdout[n_test:]] = "val"
+        # Split the holdout into test/val at CLIP granularity so a clip never
+        # straddles subsets.
+        holdout_clips = np.array(sorted(set(groups.iloc[holdout])))
+        rng.shuffle(holdout_clips)
+        n_test_clips = int(len(holdout_clips) * test_frac / (val_frac + test_frac))
+        test_clips = set(holdout_clips[:n_test_clips])
+        for i in holdout:
+            labels[i] = "test" if groups.iloc[i] in test_clips else "val"
         out[f"subset_{s}"] = labels
     return out.set_index("nao_clip_id")
 
