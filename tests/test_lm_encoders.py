@@ -1,0 +1,118 @@
+"""GPT-2 / T5 encoder parity against config-constructed HF torch models."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import torch
+
+from transfusion_tpu.models.lm_encoders import (
+    GPT2Config,
+    GPT2Encoder,
+    PooledLMEncoder,
+    T5Config,
+    T5Encoder,
+)
+
+
+def test_gpt2_matches_hf(rng):
+    import transformers
+
+    hf = transformers.GPT2Model(
+        transformers.GPT2Config(
+            vocab_size=150, n_positions=32, n_embd=24, n_layer=2, n_head=4,
+            resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
+        )
+    ).eval()
+    cfg = GPT2Config(vocab_size=150, hidden_size=24, num_layers=2, num_heads=4,
+                     max_positions=32, dropout=0.0)
+    enc = GPT2Encoder(cfg)
+    ids = rng.integers(0, 150, (2, 10)).astype(np.int32)
+    mask = np.ones((2, 10), np.int32)
+    mask[1, 7:] = 0
+    params = enc.init(jax.random.key(0), jnp.asarray(ids), jnp.asarray(mask))["params"]
+
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params["wte"]["embedding"] = jnp.asarray(sd["wte.weight"])
+    params["wpe"] = jnp.asarray(sd["wpe.weight"])
+    for i in range(2):
+        blk = params[f"h_{i}"]
+        pre = f"h.{i}."
+        # HF GPT2 uses Conv1D: weight [in, out] — matches flax kernel directly.
+        blk["c_attn"]["kernel"] = jnp.asarray(sd[pre + "attn.c_attn.weight"])
+        blk["c_attn"]["bias"] = jnp.asarray(sd[pre + "attn.c_attn.bias"])
+        blk["c_proj"]["kernel"] = jnp.asarray(sd[pre + "attn.c_proj.weight"])
+        blk["c_proj"]["bias"] = jnp.asarray(sd[pre + "attn.c_proj.bias"])
+        blk["mlp_fc"]["kernel"] = jnp.asarray(sd[pre + "mlp.c_fc.weight"])
+        blk["mlp_fc"]["bias"] = jnp.asarray(sd[pre + "mlp.c_fc.bias"])
+        blk["mlp_proj"]["kernel"] = jnp.asarray(sd[pre + "mlp.c_proj.weight"])
+        blk["mlp_proj"]["bias"] = jnp.asarray(sd[pre + "mlp.c_proj.bias"])
+        for ln in ("ln_1", "ln_2"):
+            blk[ln]["scale"] = jnp.asarray(sd[pre + ln + ".weight"])
+            blk[ln]["bias"] = jnp.asarray(sd[pre + ln + ".bias"])
+    params["ln_f"]["scale"] = jnp.asarray(sd["ln_f.weight"])
+    params["ln_f"]["bias"] = jnp.asarray(sd["ln_f.bias"])
+
+    with torch.no_grad():
+        ref = hf(
+            input_ids=torch.from_numpy(ids.astype(np.int64)),
+            attention_mask=torch.from_numpy(mask.astype(np.int64)),
+        ).last_hidden_state.numpy()
+    got = np.asarray(enc.apply({"params": params}, jnp.asarray(ids), jnp.asarray(mask)))
+    for b in range(2):
+        n = mask[b].sum()
+        np.testing.assert_allclose(got[b, :n], ref[b, :n], rtol=1e-4, atol=1e-4)
+
+
+def test_t5_matches_hf(rng):
+    import transformers
+
+    hf = transformers.T5EncoderModel(
+        transformers.T5Config(
+            vocab_size=120, d_model=24, d_kv=6, d_ff=48, num_layers=2, num_heads=4,
+            dropout_rate=0.0, feed_forward_proj="relu",
+        )
+    ).eval()
+    cfg = T5Config(vocab_size=120, hidden_size=24, num_layers=2, num_heads=4,
+                   head_dim=6, ff_dim=48, gated_ff=False, dropout=0.0)
+    enc = T5Encoder(cfg)
+    ids = rng.integers(0, 120, (2, 9)).astype(np.int32)
+    mask = np.ones((2, 9), np.int32)
+    mask[0, 6:] = 0
+    params = enc.init(jax.random.key(0), jnp.asarray(ids), jnp.asarray(mask))["params"]
+
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params["shared"]["embedding"] = jnp.asarray(sd["shared.weight"])
+    for i in range(2):
+        blk = params[f"block_{i}"]
+        pre = f"encoder.block.{i}."
+        for ours, theirs in (("q", "q"), ("k", "k"), ("v", "v"), ("o", "o")):
+            blk[ours]["kernel"] = jnp.asarray(sd[pre + f"layer.0.SelfAttention.{theirs}.weight"].T)
+        blk["ln_attn"]["scale"] = jnp.asarray(sd[pre + "layer.0.layer_norm.weight"])
+        blk["wi"]["kernel"] = jnp.asarray(sd[pre + "layer.1.DenseReluDense.wi.weight"].T)
+        blk["wo"]["kernel"] = jnp.asarray(sd[pre + "layer.1.DenseReluDense.wo.weight"].T)
+        blk["ln_ff"]["scale"] = jnp.asarray(sd[pre + "layer.1.layer_norm.weight"])
+    params["block_0"]["relative_attention_bias"] = jnp.asarray(
+        sd["encoder.block.0.layer.0.SelfAttention.relative_attention_bias.weight"]
+    )
+    params["final_norm"]["scale"] = jnp.asarray(sd["encoder.final_layer_norm.weight"])
+
+    with torch.no_grad():
+        ref = hf(
+            input_ids=torch.from_numpy(ids.astype(np.int64)),
+            attention_mask=torch.from_numpy(mask.astype(np.int64)),
+        ).last_hidden_state.numpy()
+    got = np.asarray(enc.apply({"params": params}, jnp.asarray(ids), jnp.asarray(mask)))
+    for b in range(2):
+        n = mask[b].sum()
+        np.testing.assert_allclose(got[b, :n], ref[b, :n], rtol=1e-3, atol=1e-4)
+
+
+def test_pooled_lm_encoder_embedding_mode(rng):
+    cfg = GPT2Config(vocab_size=60, hidden_size=16, num_layers=1, num_heads=2,
+                     max_positions=16, dropout=0.0)
+    mod = PooledLMEncoder(GPT2Encoder(cfg), out_mode="embedding", out_mlp=20, out_dropout=0.0)
+    ids = jnp.asarray(rng.integers(0, 60, (3, 8)).astype(np.int32))
+    mask = jnp.ones((3, 8), jnp.int32)
+    params = mod.init(jax.random.key(0), ids, mask)["params"]
+    out, m = mod.apply({"params": params}, ids, mask)
+    assert out.shape == (3, 20)
