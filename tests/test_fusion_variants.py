@@ -1,0 +1,90 @@
+"""Shared-encoder, asymmetric, and visual-feature fusion variants."""
+
+import re
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from transfusion_tpu.models.fusion_variants import (
+    AsymmetricConfig,
+    AsymmetricCrossFusionLevel,
+    QKVEncoderLayer,
+    VisualFeatureFusion,
+)
+
+
+def test_qkv_encoder_cross_attention(rng):
+    mod = QKVEncoderLayer(dim=32, num_heads=4, dropout=0.0)
+    q = jnp.asarray(rng.normal(0, 1, (2, 5, 32)).astype(np.float32))
+    mem = jnp.asarray(rng.normal(0, 1, (2, 9, 32)).astype(np.float32))
+    pad = jnp.zeros((2, 9), bool).at[1, 6:].set(True)
+    params = mod.init(jax.random.key(0), q, mem, pad)["params"]
+    out = mod.apply({"params": params}, q, mem, pad)
+    assert out.shape == q.shape
+    # Padded memory positions must not influence the output.
+    mem2 = mem.at[1, 6:].set(999.0)
+    out2 = mod.apply({"params": params}, q, mem2, pad)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), atol=1e-5)
+
+
+def test_asymmetric_level(rng):
+    cfg = AsymmetricConfig(token_dim=32, vis_layers=3, lang_layers=2, num_heads=4,
+                           patch_h=2, patch_w=2)
+    mod = AsymmetricCrossFusionLevel(cfg, out_channels=8)
+    feat = jnp.asarray(rng.normal(0, 1, (2, 8, 12, 8)).astype(np.float32))
+    lang = jnp.asarray(rng.normal(0, 1, (2, 6, 32)).astype(np.float32))
+    mask = jnp.ones((2, 6), jnp.int32)
+    params = mod.init(jax.random.key(0), feat, lang, mask)["params"]
+    fused, lang_out = mod.apply({"params": params}, feat, lang, mask)
+    assert fused.shape == feat.shape
+    assert lang_out.shape == lang.shape
+    assert sum(1 for k in params if re.fullmatch(r"vis_\d+", k)) == 3
+    assert sum(1 for k in params if re.fullmatch(r"lang_\d+", k)) == 2
+
+
+def test_visual_feature_fusion(rng):
+    mod = VisualFeatureFusion(token_dim=32, num_layers=1, num_heads=4)
+    patches = jnp.asarray(rng.normal(0, 1, (2, 24, 32)).astype(np.float32))
+    clip = jnp.asarray(rng.normal(0, 1, (2, 6, 2304)).astype(np.float32))
+    params = mod.init(jax.random.key(0), patches, clip)["params"]
+    fused, aux = mod.apply({"params": params}, patches, clip)
+    assert fused.shape == patches.shape
+    assert aux.shape == (2, 6, 32)
+
+
+def test_shared_encoder_transfusion(rng):
+    from transfusion_tpu.models.detector import DetectorConfig
+    from transfusion_tpu.models.roi_heads import RoIConfig
+    from transfusion_tpu.models.rpn import RPNConfig
+    from transfusion_tpu.models.text_encoder import BertConfig
+    from transfusion_tpu.models.transfusion import FusionConfig, TransFusion, TransFusionConfig
+
+    cfg = TransFusionConfig(
+        detector=DetectorConfig(
+            roi=RoIConfig(num_nouns=5, num_verbs=4, representation_size=32,
+                          batch_size_per_image=8, detections_per_img=4),
+            rpn=RPNConfig(pre_nms_top_n_test=32, post_nms_top_n_test=16),
+        ),
+        fusion=FusionConfig(fpn_features=(2, 3), patch_h=(2, 1), patch_w=(2, 1),
+                            num_layers=(1, 1), token_dim=16, num_heads=2,
+                            share_encoders=True),
+        bert=BertConfig(vocab_size=80, hidden_size=16, num_layers=1, num_heads=2,
+                        intermediate_size=32, max_position_embeddings=16),
+        out_mlp=16,
+    )
+    model = TransFusion(cfg)
+    batch = {
+        "image": jnp.zeros((1, 64, 64, 3)),
+        "image_hw": (64, 64),
+        "input_ids": jnp.ones((1, 8), jnp.int32),
+        "attention_mask": jnp.ones((1, 8), jnp.int32),
+    }
+    variables = model.init({"params": jax.random.key(0)}, batch, False)
+    params = variables["params"]
+    # The encoder stack lives ONCE at the top level, not per fusion level.
+    assert "shared_layer_0" in params
+    assert "layer_0" not in params.get("fusion_2", {})
+    assert "layer_0" not in params.get("fusion_3", {})
+    out = model.apply(variables, batch, False)
+    assert out["roi_outputs"]["class_logits"].shape[-1] == 5

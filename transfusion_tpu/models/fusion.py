@@ -146,6 +146,10 @@ class CrossFusionLevel(nn.Module):
     cfg: FusionLevelConfig
     out_channels: int
     dtype: Any = jnp.float32
+    # When set, these encoder layers are used instead of per-level ones —
+    # the shared-encoder variant (CrossFusionBoxWrapperShared,
+    # cross_f_box_wrapper.py:305-373) passes one stack to every level.
+    shared_layers: Any = None
 
     @nn.compact
     def __call__(self, feat, lang_tokens, lang_mask, deterministic: bool = True):
@@ -177,11 +181,15 @@ class CrossFusionLevel(nn.Module):
         if cfg.vis_mask_type != "global":
             raise NotImplementedError("local visual masks land with the Pallas attention kernel")
 
-        for i in range(cfg.num_layers):
-            x = EncoderLayer(
-                cfg.token_dim, cfg.num_heads, cfg.ff_multiplier, cfg.token_dropout,
-                cfg.activation, self.dtype, name=f"layer_{i}",
-            )(x, key_padding_mask=pad, attn_mask=attn_mask, deterministic=deterministic)
+        if self.shared_layers is not None:
+            for layer in self.shared_layers:
+                x = layer(x, key_padding_mask=pad, attn_mask=attn_mask, deterministic=deterministic)
+        else:
+            for i in range(cfg.num_layers):
+                x = EncoderLayer(
+                    cfg.token_dim, cfg.num_heads, cfg.ff_multiplier, cfg.token_dropout,
+                    cfg.activation, self.dtype, name=f"layer_{i}",
+                )(x, key_padding_mask=pad, attn_mask=attn_mask, deterministic=deterministic)
 
         vis_out = x[:, :n]
         lang_out = x[:, n:]

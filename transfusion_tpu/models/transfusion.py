@@ -43,6 +43,7 @@ class FusionConfig:
     vis_mask_type: str = "global"
     forward_language_f: Any = False  # False | "direct" | "sum"
     replace_fpn_features: bool = True
+    share_encoders: bool = False  # one transformer stack across all levels
 
 
 @dataclass(frozen=True)
@@ -75,6 +76,18 @@ class TransFusion(nn.Module):
                 out_dropout=c.out_dropout,
                 dtype=c.dtype,
             )
+            shared_layers = None
+            if c.fusion.share_encoders:
+                from transfusion_tpu.models.fusion import EncoderLayer
+
+                shared_layers = tuple(
+                    EncoderLayer(
+                        c.fusion.token_dim, c.fusion.num_heads, c.fusion.ff_multiplier,
+                        c.fusion.token_dropout, c.fusion.activation, c.dtype,
+                        name=f"shared_layer_{i}",
+                    )
+                    for i in range(c.fusion.num_layers[0])
+                )
             levels = []
             for i, lvl in enumerate(c.fusion.fpn_features):
                 level_cfg = FusionLevelConfig(
@@ -94,7 +107,8 @@ class TransFusion(nn.Module):
                 )
                 levels.append(
                     CrossFusionLevel(
-                        level_cfg, RESNET50_CHANNELS[str(lvl)], dtype=c.dtype, name=f"fusion_{lvl}"
+                        level_cfg, RESNET50_CHANNELS[str(lvl)], dtype=c.dtype,
+                        shared_layers=shared_layers, name=f"fusion_{lvl}",
                     )
                 )
             self.fusion_levels = levels
@@ -202,6 +216,7 @@ def build_transfusion_config(
         vis_mask_type=fusion_cfg.get("vis_mask_type", "global"),
         forward_language_f=fusion_cfg.get("forward_language_f", False),
         replace_fpn_features=fusion_cfg.get("replace_fpn_features", True),
+        share_encoders=bool(fusion_cfg.get("share_encoders", False)),
     )
     return TransFusionConfig(
         detector=det,
