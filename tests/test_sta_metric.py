@@ -107,3 +107,29 @@ def test_perfect_predictions_score_100():
         m.add(preds, labels)
     vals = m.evaluate()
     assert all(abs(v - 100.0) < 1e-9 for v in vals)
+
+
+def test_native_matcher_parity():
+    """C++ matcher == python matcher == reference on random scenes."""
+    from transfusion_tpu.metrics import native as native_mod
+    from transfusion_tpu.metrics.sta_map import STAMeanAveragePrecision as M
+
+    if not native_mod.native_available():
+        pytest.skip("native lib unavailable (no toolchain)")
+    rng = np.random.default_rng(7)
+    ref_mod = load_reference_metric()
+    ref = ref_mod.STAMeanAveragePrecision(top_k=5)
+    with_native = M(top_k=5)
+    # Force-python twin by breaking the native condition via monkeypatching.
+    no_native = M(top_k=5)
+    no_native._try_native = lambda *a, **k: None
+
+    for _ in range(20):
+        n_pred = int(rng.integers(1, 15))
+        n_gt = int(rng.integers(1, 4))
+        preds, labels = random_scene(rng, n_pred, n_gt)
+        for m in (ref, with_native, no_native):
+            m.add({k: v.copy() for k, v in preds.items()}, {k: v.copy() for k, v in labels.items()})
+
+    np.testing.assert_allclose(with_native.evaluate(), ref.evaluate(), rtol=1e-12)
+    np.testing.assert_allclose(with_native.evaluate(), no_native.evaluate(), rtol=1e-12)
