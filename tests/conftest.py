@@ -39,3 +39,13 @@ def require_reference():
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches():
+    """Drop compiled executables between test modules. With ~100 programs on
+    the 8-virtual-device CPU backend the runtime eventually hard-aborts
+    (SIGABRT inside device_get) — clearing caches keeps the live-executable
+    count bounded."""
+    yield
+    jax.clear_caches()

@@ -79,13 +79,13 @@ run:
       final_concat: null
       finetune: False
       lang_dropout: 0.1
-      size: 384
+      size: 64
       out_mlp: 64
       out_tanh: False
       out_dropout: 0.1
       normalize: True
       train_ep: 0
-      model_v: "all-MiniLM-L6-v2"
+      model_v: "minilm-tiny"
 
   narr_fusion:
     config: ${CODE}/mini_fusion.yml
@@ -157,6 +157,7 @@ run:
 
 MODEL_CFG = """
 type: res50
+stage_sizes: [1, 1, 1, 1]
 trainable_layers: 2
 train_ep: -1
 box_1_dropout: 0.
@@ -237,14 +238,49 @@ def cli_env(tmp_path_factory):
     return {"CODE": str(code), "DATA": str(data), "RUNS": str(runs), "config": str(cfg_path)}
 
 
-def test_cli_train_val_export_resume(cli_env, monkeypatch):
-    for k in ("CODE", "DATA", "RUNS"):
-        monkeypatch.setenv(k, cli_env[k])
+DRIVER = """
+import sys
+from transfusion_tpu.runner import run_experiment
 
-    from transfusion_tpu.runner import run_experiment
+config, run_dir = sys.argv[1], sys.argv[2]
+run_experiment.main(["--config", config, "--run-dir", run_dir, "--epochs", "1"])
+# Resume-eval from the checkpoint in the same process (shares the jit cache;
+# a second cold process would recompile everything for minutes on this box).
+run_experiment.main([
+    "--config", config, "--run-dir", run_dir + "_eval", "--run-val",
+    "--resume-from", run_dir + "/checkpoints/epoch_0000",
+])
+"""
 
+
+def _run_cli_driver(cli_env, run_dir):
+    """Drive the real CLI in a fresh process (isolates XLA state — in-process
+    invocation after dozens of prior compiled programs can abort the CPU
+    runtime — and exercises the true user surface)."""
+    import subprocess
+    import sys
+
+    env = dict(
+        os.environ,
+        CODE=cli_env["CODE"],
+        DATA=cli_env["DATA"],
+        RUNS=cli_env["RUNS"],
+        JAX_PLATFORMS="cpu",
+        XLA_FLAGS="--xla_force_host_platform_device_count=8",
+    )
+    driver = os.path.join(cli_env["CODE"], "cli_driver.py")
+    with open(driver, "w") as fp:
+        fp.write(DRIVER)
+    proc = subprocess.run(
+        [sys.executable, driver, cli_env["config"], run_dir],
+        env=env, capture_output=True, text=True, timeout=1200,
+    )
+    assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
+
+
+def test_cli_train_val_export_resume(cli_env):
     run_dir = os.path.join(cli_env["RUNS"], "itest")
-    run_experiment.main(["--config", cli_env["config"], "--run-dir", run_dir, "--epochs", "1"])
+    _run_cli_driver(cli_env, run_dir)
 
     # History recorded with train losses + val STA metrics.
     history = [json.loads(l) for l in open(os.path.join(run_dir, "history.jsonl"))]
@@ -265,12 +301,7 @@ def test_cli_train_val_export_resume(cli_env, monkeypatch):
         for e in entries:
             assert set(e) == {"box", "noun_category_id", "verb_category_id", "time_to_contact", "score"}
 
-    # Checkpoint written; resume-eval runs from it.
-    ckpt_dir = os.path.join(run_dir, "checkpoints", "epoch_0000")
-    assert os.path.isdir(ckpt_dir)
-    run_experiment.main(
-        ["--config", cli_env["config"], "--run-dir", run_dir + "_eval", "--run-val",
-         "--resume-from", ckpt_dir]
-    )
+    # Checkpoint written; resume-eval (run inside the same driver) exported.
+    assert os.path.isdir(os.path.join(run_dir, "checkpoints", "epoch_0000"))
     eval_results = os.listdir(os.path.join(run_dir + "_eval", "results"))
     assert any("val_epoch0" in f for f in eval_results)

@@ -25,6 +25,8 @@ LANG_MODEL_FEATURE_SIZES = {
     "flan-t5-large": 1024,
     "flan-t5-small": 512,
     "slowfast": 2304,
+    # Additive (not in the reference table): a tiny BERT for smoke tests.
+    "minilm-tiny": 64,
 }
 
 # runner/run_experiment.py:53-61
@@ -36,6 +38,7 @@ LM_TO_TEXT_POOLING = {
     "t5-small": "t5-wikihow",
     "flan-t5-small": "t5-wikihow",
     "flan-t5-large": "t5-wikihow",
+    "minilm-tiny": "sbert_finetune",
 }
 
 # modeling/narration_embeds/narr_pooling_layers.py:20

@@ -46,6 +46,7 @@ class DetectorConfig:
     rpn: RPNConfig = field(default_factory=RPNConfig)
     fpn_out_channels: int = 256
     stride_in_1x1: bool = True  # adapt_to_detectron
+    stage_sizes: tuple = (3, 4, 6, 3)  # ResNet-50; smaller for smoke tests
     dtype: Any = jnp.float32
 
 
@@ -53,7 +54,11 @@ class FasterRCNN(nn.Module):
     cfg: DetectorConfig
 
     def setup(self):
-        self.backbone = ResNet(stride_in_1x1=self.cfg.stride_in_1x1, dtype=self.cfg.dtype)
+        self.backbone = ResNet(
+            stage_sizes=self.cfg.stage_sizes,
+            stride_in_1x1=self.cfg.stride_in_1x1,
+            dtype=self.cfg.dtype,
+        )
         self.fpn = FPN(out_channels=self.cfg.fpn_out_channels, dtype=self.cfg.dtype)
         self.rpn_head = RPNHead(num_anchors=len(self.cfg.rpn.aspect_ratios), dtype=self.cfg.dtype)
         self.box_head = BoxHead(self.cfg.roi.representation_size, dtype=self.cfg.dtype)

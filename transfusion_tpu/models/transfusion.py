@@ -192,11 +192,19 @@ def build_transfusion_config(
         roi=roi,
         rpn=rpn,
         stride_in_1x1=model.get("adapt_to_detectron", False),
+        # Additive knob (not in the reference schema): shrink the backbone
+        # for smoke tests; defaults to ResNet-50.
+        stage_sizes=tuple(model.get("stage_sizes", (3, 4, 6, 3))),
         dtype=dtype,
     )
 
     model_v = narr_args.get("model_v", "all-MiniLM-L12-v2")
-    bert = BertConfig.minilm_l6() if "L6" in model_v else BertConfig.minilm_l12()
+    if model_v == "minilm-tiny":
+        bert = BertConfig(hidden_size=64, num_layers=2, num_heads=4, intermediate_size=128)
+    elif "L6" in model_v:
+        bert = BertConfig.minilm_l6()
+    else:
+        bert = BertConfig.minilm_l12()
 
     fargs = fusion_cfg.get("args", {})
     fus = FusionConfig(

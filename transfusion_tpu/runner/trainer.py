@@ -212,7 +212,12 @@ class EgoNaoTrainer:
 
     # --------------------------------------------------------------- model
     def _build_model(self):
-        self.model_cfg = build_transfusion_config(self.config, self.num_nouns, self.num_verbs)
+        # precision 16 -> bf16 compute (the TPU-stable replacement for the
+        # reference's NaN-prone fp16, README.md:62); 32 -> f32.
+        dtype = jnp.bfloat16 if int(self.run.get("precision", 32)) == 16 else jnp.float32
+        self.model_cfg = build_transfusion_config(
+            self.config, self.num_nouns, self.num_verbs, dtype=dtype
+        )
         self.model = TransFusion(self.model_cfg)
 
         # Global batch sizes, rounded up to the data-axis multiple (short
