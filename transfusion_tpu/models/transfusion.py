@@ -58,6 +58,11 @@ class TransFusionConfig:
     lm_pooling: str = "mean"
     lm_use_ln: bool = True
     use_language: bool = True
+    # Rematerialize the fusion levels in the backward pass (jax.checkpoint):
+    # trades recompute for activation memory, the standard TPU lever for
+    # growing the per-chip train batch past what the 896-dim joint attention
+    # activations allow.
+    remat_fusion: bool = False
     dtype: Any = jnp.float32
 
 
@@ -136,9 +141,15 @@ class TransFusion(nn.Module):
             language_f = lang_tokens
             for i, lvl in enumerate(c.fusion.fpn_features):
                 key = str(lvl)
-                fused, lang_out = self.fusion_levels[i](
-                    feats[key], language_f, lang_mask, deterministic=not train
-                )
+                level = self.fusion_levels[i]
+                if c.remat_fusion and train:
+                    fused, lang_out = nn.remat(
+                        lambda mdl, f, lf, lm: mdl(f, lf, lm, deterministic=False)
+                    )(level, feats[key], language_f, lang_mask)
+                else:
+                    fused, lang_out = level(
+                        feats[key], language_f, lang_mask, deterministic=not train
+                    )
                 if c.fusion.forward_language_f == "direct":
                     language_f = lang_out
                 elif c.fusion.forward_language_f == "sum":
