@@ -29,7 +29,7 @@ import json
 import time
 
 REFERENCE_FPS_ESTIMATE = 50.0
-BATCH = 4
+BATCH = 8
 H, W = 768, 1024
 LANG_LEN = 64
 K = 8  # model iterations inside the on-device loop
