@@ -88,3 +88,47 @@ def test_shared_encoder_transfusion(rng):
     assert "layer_0" not in params.get("fusion_3", {})
     out = model.apply(variables, batch, False)
     assert out["roi_outputs"]["class_logits"].shape[-1] == 5
+
+
+def test_visual_features_end_to_end(rng):
+    """use_visual_features wires batch clip features through the early
+    vis-vis fusion before the language stage (VisLangFusionBoxWrapper path)."""
+    from transfusion_tpu.models.detector import DetectorConfig
+    from transfusion_tpu.models.roi_heads import RoIConfig
+    from transfusion_tpu.models.rpn import RPNConfig
+    from transfusion_tpu.models.text_encoder import BertConfig
+    from transfusion_tpu.models.transfusion import FusionConfig, TransFusion, TransFusionConfig
+
+    cfg = TransFusionConfig(
+        detector=DetectorConfig(
+            roi=RoIConfig(num_nouns=5, num_verbs=4, representation_size=32,
+                          batch_size_per_image=8, detections_per_img=4),
+            rpn=RPNConfig(pre_nms_top_n_test=32, post_nms_top_n_test=16),
+            stage_sizes=(1, 1, 1, 1),
+        ),
+        fusion=FusionConfig(fpn_features=(3,), patch_h=(1,), patch_w=(1,),
+                            num_layers=(1,), token_dim=16, num_heads=2),
+        bert=BertConfig(vocab_size=80, hidden_size=16, num_layers=1, num_heads=2,
+                        intermediate_size=32, max_position_embeddings=16),
+        out_mlp=16,
+        use_visual_features=True,
+        visual_feature_layers=1,
+    )
+    model = TransFusion(cfg)
+    batch = {
+        "image": jnp.zeros((1, 64, 64, 3)),
+        "image_hw": (64, 64),
+        "input_ids": jnp.ones((1, 8), jnp.int32),
+        "attention_mask": jnp.ones((1, 8), jnp.int32),
+        "visual_features": jnp.asarray(rng.normal(0, 1, (1, 4, 2304)).astype(np.float32)),
+    }
+    variables = model.init({"params": jax.random.key(0)}, batch, False)
+    assert "vis_fusion_3" in variables["params"]
+    out = model.apply(variables, batch, False)
+    # The clip features influence the output.
+    batch2 = dict(batch, visual_features=batch["visual_features"] * -2.0)
+    out2 = model.apply(variables, batch2, False)
+    assert not np.allclose(
+        np.asarray(out["roi_outputs"]["class_logits"]),
+        np.asarray(out2["roi_outputs"]["class_logits"]),
+    )

@@ -38,6 +38,9 @@ STA_METRIC_NAMES = [
     "ap_ttc",
 ]
 
+# The TTC-free 5-measure variant (ego_metrics.py:376-413).
+STA_METRIC_NAMES_NO_TTC = STA_METRIC_NAMES[:5]
+
 
 def iou_plus_one(preds: np.ndarray, gts: np.ndarray) -> np.ndarray:
     """[NP, 4] x [NG, 4] -> [NP, NG] with the +1 area convention."""
@@ -223,3 +226,15 @@ class STAMeanAveragePrecision:
                     aps.append(0.0)
             values.append(float(np.mean(aps)) if aps else float("nan"))
         return tuple(values)
+
+
+class STAMeanAveragePrecisionNoTTC(STAMeanAveragePrecision):
+    """5-measure variant without TTC (ego_metrics.py:376-413): the full
+    matcher runs and the TTC-dependent measures are dropped at report time,
+    which is equivalent because measures are computed independently."""
+
+    def get_short_names(self):
+        return list(STA_METRIC_NAMES_NO_TTC)
+
+    def evaluate(self):
+        return super().evaluate()[: len(STA_METRIC_NAMES_NO_TTC)]

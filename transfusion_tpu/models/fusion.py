@@ -150,9 +150,13 @@ class CrossFusionLevel(nn.Module):
     # the shared-encoder variant (CrossFusionBoxWrapperShared,
     # cross_f_box_wrapper.py:305-373) passes one stack to every level.
     shared_layers: Any = None
+    # Optional early vision-vision fusion with precomputed clip features
+    # (VisLangFusionBoxWrapper): a VisualFeatureFusion module.
+    vis_fusion: Any = None
 
     @nn.compact
-    def __call__(self, feat, lang_tokens, lang_mask, deterministic: bool = True):
+    def __call__(self, feat, lang_tokens, lang_mask, deterministic: bool = True,
+                 visual_features=None):
         cfg = self.cfg
         b, h, w, c = feat.shape
         ph, pw = cfg.patch_h, cfg.patch_w
@@ -170,6 +174,8 @@ class CrossFusionLevel(nn.Module):
         lang_kind = self.param("lang_kind", nn.initializers.normal(1.0), (1, 1, cfg.token_dim))
         vis = vis + img_kind
         vis = nn.Dropout(cfg.patch_dropout, deterministic=deterministic)(vis)
+        if self.vis_fusion is not None and visual_features is not None:
+            vis, _ = self.vis_fusion(vis, visual_features, deterministic)
         lang = lang_tokens + lang_kind
 
         x = jnp.concatenate([vis, lang], axis=1)

@@ -58,6 +58,11 @@ class TransFusionConfig:
     lm_pooling: str = "mean"
     lm_use_ln: bool = True
     use_language: bool = True
+    # Precomputed clip-feature early fusion (VisLangFusionBoxWrapper,
+    # cross_f_box_vis_language_wrapper.py): batch["visual_features"] [B, T, F]
+    # fuses with each level's patch tokens before the language stage.
+    use_visual_features: bool = False
+    visual_feature_layers: int = 2
     # Rematerialize the fusion levels in the backward pass (jax.checkpoint):
     # trades recompute for activation memory, the standard TPU lever for
     # growing the per-chip train batch past what the 896-dim joint attention
@@ -94,6 +99,18 @@ class TransFusion(nn.Module):
                     for i in range(c.fusion.num_layers[0])
                 )
             levels = []
+            vis_fusion_mods = {}
+            if c.use_visual_features:
+                from transfusion_tpu.models.fusion_variants import VisualFeatureFusion
+
+                for lvl in c.fusion.fpn_features:
+                    vis_fusion_mods[lvl] = VisualFeatureFusion(
+                        token_dim=c.fusion.token_dim,
+                        num_layers=c.visual_feature_layers,
+                        num_heads=c.fusion.num_heads,
+                        dtype=c.dtype,
+                        name=f"vis_fusion_{lvl}",
+                    )
             for i, lvl in enumerate(c.fusion.fpn_features):
                 level_cfg = FusionLevelConfig(
                     token_dim=c.fusion.token_dim,
@@ -113,7 +130,9 @@ class TransFusion(nn.Module):
                 levels.append(
                     CrossFusionLevel(
                         level_cfg, RESNET50_CHANNELS[str(lvl)], dtype=c.dtype,
-                        shared_layers=shared_layers, name=f"fusion_{lvl}",
+                        shared_layers=shared_layers,
+                        vis_fusion=vis_fusion_mods.get(lvl),
+                        name=f"fusion_{lvl}",
                     )
                 )
             self.fusion_levels = levels
@@ -142,13 +161,14 @@ class TransFusion(nn.Module):
             for i, lvl in enumerate(c.fusion.fpn_features):
                 key = str(lvl)
                 level = self.fusion_levels[i]
+                vis_f = batch.get("visual_features") if c.use_visual_features else None
                 if c.remat_fusion and train:
                     fused, lang_out = nn.remat(
-                        lambda mdl, f, lf, lm: mdl(f, lf, lm, deterministic=False)
-                    )(level, feats[key], language_f, lang_mask)
+                        lambda mdl, f, lf, lm, vf: mdl(f, lf, lm, False, vf)
+                    )(level, feats[key], language_f, lang_mask, vis_f)
                 else:
                     fused, lang_out = level(
-                        feats[key], language_f, lang_mask, deterministic=not train
+                        feats[key], language_f, lang_mask, not train, vis_f
                     )
                 if c.fusion.forward_language_f == "direct":
                     language_f = lang_out
@@ -246,5 +266,7 @@ def build_transfusion_config(
         out_dropout=narr_args.get("out_dropout", 0.1),
         lm_on=bool(run["criterion"].get("lm", 0)),
         use_language=bool(narr.get("use", True)),
+        # VisLangFusionBoxWrapper selection (model_factory.py:78-91).
+        use_visual_features=bool(narr.get("res50_f", False) or narr.get("slowfast_f_v", False)),
         dtype=dtype,
     )

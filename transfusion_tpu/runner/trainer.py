@@ -119,6 +119,22 @@ class EgoNaoTrainer:
         self.ckpt = CheckpointManager(run_dir)
         self.monitor = monitor_metric_name(self.run["criterion"])
         self.history: list[dict] = []
+        self._build_plotter()
+
+    def _build_plotter(self):
+        """Per-epoch GT-vs-prediction plot grids (BboxPlotterCallback
+        equivalent); disabled when matplotlib is unavailable."""
+        try:
+            from transfusion_tpu.runner.callbacks import BboxPlotter
+
+            noun_names = {v: k for k, v in self.noun_mapping.items()}
+            verb_names = {v: k for k, v in self.verb_mapping.items()}
+            self.plotter = BboxPlotter(
+                self.run_dir, noun_names, verb_names,
+                normalization=self.aug.normalization, channel_order=self.aug.channel_order,
+            )
+        except Exception:  # pragma: no cover - matplotlib missing
+            self.plotter = None
 
     # ---------------------------------------------------------------- data
     def _build_data(self):
@@ -387,11 +403,17 @@ class EgoNaoTrainer:
         metric = STAMeanAveragePrecision(top_k=5)
         results: dict = {}
         bucket = self.aug.eval_bucket()
+        first_plot = None
         with self.mesh:
             for batch in loader:
                 db = self._device_batch(batch, with_targets=False)
                 dets = jax.device_get(self.eval_step(self.state.params, db, tuple(bucket)))
                 n_real = len(batch["uids"])
+                if first_plot is None and self.plotter is not None:
+                    first_plot = (
+                        {"image": np.asarray(batch["image"][:8]), "targets": batch["targets"]},
+                        jax.tree.map(lambda x: np.asarray(x[:8]), dets),
+                    )
                 # host: metric + export (boxes back to original resolution).
                 for i in range(n_real):
                     v = dets["valid"][i]
@@ -427,6 +449,12 @@ class EgoNaoTrainer:
         values = metric.evaluate()
         metrics = {f"{name}_{source}": v for name, v in zip(metric.get_short_names(), values)}
         log.info("epoch %d %s: %s", epoch, source, {k: round(v, 3) for k, v in metrics.items()})
+
+        if first_plot is not None:
+            try:
+                self.plotter(source, epoch, first_plot[0], first_plot[1])
+            except Exception as e:  # plotting must never break eval
+                log.warning("plot callback failed: %s", e)
 
         path = None
         if export:
