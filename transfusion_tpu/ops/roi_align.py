@@ -8,11 +8,13 @@ same bilinear math as a batched gather:
   * half-pixel alignment: roi coords are scaled then shifted by -0.5;
   * bilinear interpolation with torchvision's border handling (points more
     than one pixel outside contribute 0; points in (-1, 0) clamp to 0);
-  * sampling ratio: the reference's adaptive ``ceil(bin/out)`` is 1 or 2 for
-    FPN-assigned RoIs (canonical mapping puts bin sizes in [0.5, 2] feature
-    cells), so we fix ratio=2 — a static superset grid; for bins where the
-    adaptive rule would pick 1 sample this takes 4 closely-spaced samples
-    instead, a sub-1e-2 numerical deviation flagged for the Pallas kernel.
+  * sampling ratio: detectron2's adaptive rule takes ``ceil(bin_size)``
+    samples per bin axis; under the canonical level mapping RoI spans are
+    14-28 feature cells, i.e. bin sizes 2-4 cells, so adaptive would use
+    2-4 samples. We fix ratio=2 (the dominant case and the cost knee) —
+    large-bin RoIs average 4 samples instead of up to 16, a smoothing-level
+    numerical deviation (pooled values remain convex combinations of the
+    same support) slated for exact adaptive treatment in the Pallas kernel.
 
 ``multiscale_roi_align`` evaluates each FPN level for all RoIs and selects by
 the canonical level formula (torchvision LevelMapper: k0=4, scale 224).
