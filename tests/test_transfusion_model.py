@@ -104,3 +104,38 @@ def test_language_off_path():
     out = model.apply(variables, batch, False)
     assert "lm" not in out
     assert out["roi_outputs"]["class_logits"].shape[-1] == 5
+
+
+def test_reference_v1_config_builds_model():
+    """The v1 reference config constructs the full model (shape-level)."""
+    import os
+
+    from tests.conftest import require_reference
+    from transfusion_tpu.config import derive_config, load_config
+    from transfusion_tpu.models.transfusion import build_transfusion_config
+
+    ref = require_reference()
+    os.environ["CODE"] = ref
+    cfg_dict = derive_config(load_config(os.path.join(ref, "runner/nao/configs/ego_nao_res50_ego4d.yml")))
+    cfg = build_transfusion_config(cfg_dict, num_nouns=88, num_verbs=75)
+    assert cfg.fusion.token_dim == 712  # v1 out_mlp
+    assert cfg.detector.roi.representation_size == 1024
+    assert cfg.detector.roi.ttc_on is False  # criterion ttc: 0
+    assert cfg.lm_on is False
+    assert cfg.detector.stage_sizes == (3, 4, 6, 3)
+
+    model = TransFusion(cfg)
+    batch = {
+        "image": jnp.zeros((1, 128, 160, 3)),
+        "image_hw": (128, 160),
+        "input_ids": jnp.ones((1, 16), jnp.int32),
+        "attention_mask": jnp.ones((1, 16), jnp.int32),
+    }
+    shapes = jax.eval_shape(lambda k: model.init({"params": k}, batch, False), jax.random.key(0))
+    n_params = sum(np.prod(x.shape) for x in jax.tree.leaves(shapes))
+    assert n_params > 1e8  # full-size model
+    # All four fusion levels present with 4 layers each.
+    p = shapes["params"]
+    for lvl in (0, 1, 2, 3):
+        assert f"fusion_{lvl}" in p
+        assert "layer_3" in p[f"fusion_{lvl}"]

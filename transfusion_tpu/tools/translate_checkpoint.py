@@ -25,6 +25,7 @@ cleanly.
 
 from __future__ import annotations
 
+import os
 import re
 from typing import Any
 
@@ -359,3 +360,68 @@ def translate_minilm(state_dict: dict, bert_params: Any, prefix: str = "") -> tu
         if not translate_bert_keys(key, value, tree, report, prefix):
             report["unmatched_source"].append(key)
     return tree, report
+
+
+def main(argv=None):
+    """CLI: translate a reference .pth checkpoint into an orbax directory.
+
+    Usage: python -m transfusion_tpu.tools.translate_checkpoint \
+        --checkpoint translated_ego4dv2.pth --config <run yml> \
+        --num-nouns 88 --num-verbs 75 --out <dir>
+    """
+    import argparse
+    import json
+
+    import jax
+    import orbax.checkpoint as ocp
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--checkpoint", required=True, help="torch .pth/.ckpt file")
+    parser.add_argument("--config", required=True, help="reference run config YAML")
+    parser.add_argument("--num-nouns", type=int, required=True)
+    parser.add_argument("--num-verbs", type=int, required=True)
+    parser.add_argument("--out", required=True, help="output orbax params dir")
+    parser.add_argument("--image-hw", type=int, nargs=2, default=(256, 320),
+                        help="init resolution (params are resolution-independent)")
+    args = parser.parse_args(argv)
+
+    import torch
+
+    import jax.numpy as jnp
+
+    from transfusion_tpu.config import derive_config, load_config
+    from transfusion_tpu.models.transfusion import TransFusion, build_transfusion_config
+
+    cfg_dict = derive_config(load_config(args.config))
+    cfg = build_transfusion_config(cfg_dict, args.num_nouns, args.num_verbs)
+    model = TransFusion(cfg)
+    h, w = args.image_hw
+    batch = {
+        "image": jnp.zeros((1, h, w, 3), jnp.float32),
+        "image_hw": (h, w),
+        "input_ids": jnp.ones((1, 16), jnp.int32),
+        "attention_mask": jnp.ones((1, 16), jnp.int32),
+    }
+    params = model.init({"params": jax.random.key(0)}, batch, False)["params"]
+
+    sd = torch.load(args.checkpoint, map_location="cpu")
+    new_params, report = translate_reference_checkpoint(
+        sd, params,
+        fpn_features=tuple(cfg.fusion.fpn_features),
+        patch_hw=tuple(zip(cfg.fusion.patch_h, cfg.fusion.patch_w)),
+    )
+    ocp.StandardCheckpointer().save(os.path.abspath(args.out), new_params, force=True)
+    summary = {
+        "translated": report["translated"],
+        "unmatched_source": len(report["unmatched_source"]),
+        "missing_target": len(report["missing_target"]),
+        "shape_mismatch": report["shape_mismatch"][:10],
+        "skipped": len(report["skipped"]),
+    }
+    print(json.dumps(summary, indent=1))
+    if report["unmatched_source"]:
+        print("unmatched (first 20):", report["unmatched_source"][:20])
+
+
+if __name__ == "__main__":
+    main()
