@@ -22,7 +22,9 @@ def bilinear(feat, y, x):
     )
 
 
-def roi_align_oracle(feat, rois, scale, pooled=7, ratio=2):
+def roi_align_oracle(feat, rois, scale, pooled=7, ratio=0):
+    """ratio=0 selects detectron2's adaptive ceil(bin_size) grid per RoI per
+    axis, with count = max(grid_h * grid_w, 1) (torchvision roi_align CUDA)."""
     out = np.zeros((len(rois), pooled, pooled, feat.shape[-1]), np.float32)
     for ri, roi in enumerate(rois):
         x1 = roi[0] * scale - 0.5
@@ -31,13 +33,16 @@ def roi_align_oracle(feat, rois, scale, pooled=7, ratio=2):
         y2 = roi[3] * scale - 0.5
         bw = (x2 - x1) / pooled
         bh = (y2 - y1) / pooled
+        gy = ratio if ratio > 0 else int(np.ceil(bh))
+        gx = ratio if ratio > 0 else int(np.ceil(bw))
+        count = max(gy * gx, 1)
         for py in range(pooled):
             for px in range(pooled):
                 acc = np.zeros(feat.shape[-1], np.float32)
-                for iy in range(ratio):
-                    for ix in range(ratio):
-                        y = y1 + (py + (iy + 0.5) / ratio) * bh
-                        x = x1 + (px + (ix + 0.5) / ratio) * bw
+                for iy in range(gy):
+                    for ix in range(gx):
+                        y = y1 + (py + (iy + 0.5) / gy) * bh
+                        x = x1 + (px + (ix + 0.5) / gx) * bw
                         acc += bilinear(feat, y, x)
-                out[ri, py, px] = acc / (ratio * ratio)
+                out[ri, py, px] = acc / count
     return out

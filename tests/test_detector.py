@@ -63,6 +63,74 @@ def test_multiscale_roi_align_selects_level(rng):
     np.testing.assert_allclose(np.asarray(out[0, 1]), ref1[0], rtol=1e-4, atol=1e-5)
 
 
+def test_roi_align_adaptive_parity(rng):
+    """sampling_ratio=0 = detectron2 adaptive ceil(bin) sampling, per RoI per
+    axis (rcnn_factory.py:167-172 monkeypatches sampling_ratio=0)."""
+    feat = rng.normal(0, 1, (24, 32, 8)).astype(np.float32)
+    rois = np.array(
+        [
+            [10.0, 12.0, 100.0, 90.0],
+            [0.0, 0.0, 128.0, 8.0],   # sliver: rx >> ry
+            [4.0, 4.0, 4.0, 4.0],     # zero-area -> zero output
+            [-5.0, -5.0, 40.0, 60.0],
+        ],
+        np.float32,
+    )
+    ref = roi_align_oracle(feat, rois, 0.25, ratio=0)
+    got = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(rois), 0.25, sampling_ratio=0))
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+    assert np.all(got[2] == 0.0)
+
+
+def _pyramid_and_rois(rng, bsz=2):
+    feats = {
+        k: jnp.asarray(rng.normal(0, 1, (bsz, s, s, 4)).astype(np.float32))
+        for k, s in zip("0123", (64, 32, 16, 8))
+    }
+    rois = np.array(
+        [
+            [0, 0, 64, 64],
+            [0, 0, 230, 230],
+            [3.2, 7.7, 251.0, 11.1],  # extreme aspect: multi-tile window
+            [-5, -5, 40, 60],
+            [0, 0, 256, 256],
+        ],
+        np.float32,
+    )
+    return feats, jnp.asarray(np.stack([rois, rois[::-1]][:bsz]))
+
+
+def test_fused_pallas_roi_align_parity(rng):
+    """The fused Pallas kernel (interpret mode on CPU) matches the oracle,
+    including RoIs spanning multiple window tiles."""
+    feats, rois_b = _pyramid_and_rois(rng)
+    out = np.asarray(multiscale_roi_align(feats, rois_b, (256, 256), impl="pallas"))
+    for b in range(rois_b.shape[0]):
+        lv = np.asarray(fpn_levels(rois_b[b]))
+        for i in range(rois_b.shape[1]):
+            roi = np.asarray(rois_b[b, i])[None]
+            ref = roi_align_oracle(
+                np.asarray(feats[str(lv[i])][b]), roi, (64 >> lv[i]) / 256, ratio=0
+            )
+            np.testing.assert_allclose(out[b, i], ref[0], rtol=1e-4, atol=1e-5)
+
+
+def test_fused_pallas_roi_align_grads(rng):
+    """Custom-VJP backward (RMW window scatter) matches XLA autodiff."""
+    feats, rois_b = _pyramid_and_rois(rng)
+    cot = jnp.asarray(rng.normal(0, 1, (2, 5, 7, 7, 4)).astype(np.float32))
+
+    def loss(fe, impl):
+        return (multiscale_roi_align(fe, rois_b, (256, 256), impl=impl) * cot).sum()
+
+    g_xla = jax.grad(lambda fe: loss(fe, "xla"))(feats)
+    g_pal = jax.grad(lambda fe: loss(fe, "pallas"))(feats)
+    for k in feats:
+        np.testing.assert_allclose(
+            np.asarray(g_pal[k]), np.asarray(g_xla[k]), rtol=1e-4, atol=1e-5
+        )
+
+
 def test_cell_anchors_torchvision_values():
     # torchvision base anchors for size 32, ratios (0.5, 1, 2), rounded.
     got = cell_anchors(32, (0.5, 1.0, 2.0))

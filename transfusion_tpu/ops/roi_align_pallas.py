@@ -1,0 +1,399 @@
+"""Fused multiscale RoIAlign as a Pallas TPU kernel.
+
+Replaces the per-sample gather formulation (the profiled wall of the eval
+step: a TPU random-access gather running at ~10% of HBM peak) with a
+DMA + matmul pipeline built on one observation: aligned bilinear RoIAlign
+with per-bin sample averaging is *separable* —
+
+    pooled[p, q, c] = (1/count) * sum_{h,w} Wy[p, h] * Wx[q, w] * feat[h, w, c]
+
+where ``Wy[p, h] = sum_iy tent(clip(y_sample(p, iy)) - h)`` is a small dense
+weight matrix depending only on the RoI's coordinates. detectron2's adaptive
+``ceil(bin_size)`` sampling (``rcnn_factory.py:167-172``: sampling_ratio=0)
+therefore changes only the weight construction — a few hundred VPU ops —
+while bytes moved and MXU FLOPs stay fixed per RoI.
+
+Per grid step the kernel DMAs a TILE x TILE x C window per RoI from the
+packed FPN pyramid (HBM) into VMEM (tile-0 windows for the whole RoI block
+are prefetched up front so DMA overlaps compute), builds the combined weight
+matrix W2[p*8+q, h*TILE+w] with two small MXU expansions (no cross-lane
+relayouts), and pools with a single [64, TILE^2] x [TILE^2, C] matmul.
+RoIs larger than one window (extreme-aspect proposals: level assignment is
+by area, span by extent) accumulate over a dynamic grid of window tiles —
+exact for any RoI shape.
+
+The backward pass (custom VJP; linear in features, so no residual feature
+read) scatters ``W2^T @ g`` windows back into the pyramid with sequential
+read-modify-write DMA — grid steps execute in order on a TPU core, making
+the accumulation race-free.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 32
+_CHUNK = 8  # samples evaluated per weight-build loop iteration
+
+
+class _Spec(NamedTuple):
+    p: int        # pooled output size (7)
+    p_pad: int    # p rounded up to 8 sublanes
+    c: int        # padded channel count
+    blk: int      # RoIs per grid step
+    h_tot: int    # packed pyramid rows (padded >= TILE)
+    w_tot: int    # packed pyramid cols (padded >= TILE)
+    bsz: int
+    dtype: str    # packed pyramid dtype name
+    interpret: bool
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+def _axis_weights(spec: _Spec, origin_rel, a1, bin_sz, r_cnt, lim):
+    """Summed tent weights of all bin samples onto TILE consecutive cells.
+
+    origin_rel: level-relative coordinate of the window's first cell (f32).
+    a1/bin_sz: RoI start / bin size along this axis; r_cnt: samples per bin
+    (int32, 0 => no samples); lim: level extent (f32). Returns
+    [p_pad, TILE] f32, **unnormalized** (caller divides by the sample count).
+    """
+    p_pad, tile = spec.p_pad, TILE
+    rows = origin_rel + jax.lax.broadcasted_iota(jnp.float32, (1, 1, tile), 2)
+    p_iota = jax.lax.broadcasted_iota(jnp.float32, (p_pad, _CHUNK, 1), 0)
+    i_iota = jax.lax.broadcasted_iota(jnp.float32, (p_pad, _CHUNK, 1), 1)
+    r_f = jnp.maximum(r_cnt.astype(jnp.float32), 1.0)
+    n_chunks = pl.cdiv(r_cnt, _CHUNK)
+
+    def body(ci, acc):
+        idx = ci.astype(jnp.float32) * _CHUNK + i_iota
+        y = a1 + bin_sz * (p_iota + (idx + 0.5) / r_f)
+        ok = (
+            (idx < r_cnt.astype(jnp.float32))
+            & (p_iota < spec.p)
+            & (y >= -1.0)
+            & (y <= lim)
+        )
+        yc = jnp.clip(y, 0.0, lim - 1.0)
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(yc - rows))  # [p_pad, CHUNK, tile]
+        return acc + jnp.where(ok, w, 0.0).sum(axis=1)
+
+    init = jnp.zeros((p_pad, tile), jnp.float32)
+    return jax.lax.fori_loop(0, n_chunks, body, init)
+
+
+def _expanders(p_pad: int):
+    """Expansion matrices lifting Wy/Wx [p_pad, TILE] onto the combined
+    layout W2[m = p*p_pad + q, n = h*TILE + w] via MXU matmuls (avoids
+    cross-lane relayouts from repeat/reshape). Generated with iota compares
+    in-kernel (Pallas kernels cannot close over array constants)."""
+
+    def sel(rows, cols, pred):
+        i = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+        j = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+        return pred(i, j).astype(jnp.float32)
+
+    p2, t2 = p_pad * p_pad, TILE * TILE
+    e_p = sel(p2, p_pad, lambda i, j: i // p_pad == j)  # [m, p]
+    t_q = sel(p2, p_pad, lambda i, j: i % p_pad == j)   # [m, q]
+    r_h = sel(TILE, t2, lambda i, j: j // TILE == i)    # [h, n]
+    t_w = sel(TILE, t2, lambda i, j: j % TILE == i)     # [w, n]
+    return e_p, t_q, r_h, t_w
+
+
+def _expanders_t(p_pad: int):
+    """Transposed-orientation selectors for the backward kernel."""
+
+    def sel(rows, cols, pred):
+        i = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 0)
+        j = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
+        return pred(i, j).astype(jnp.float32)
+
+    p2, t2 = p_pad * p_pad, TILE * TILE
+    e_p = sel(p_pad, p2, lambda i, j: j // p_pad == i)  # [p, m]
+    t_q = sel(p_pad, p2, lambda i, j: j % p_pad == i)   # [q, m]
+    r_h = sel(t2, TILE, lambda i, j: i // TILE == j)    # [n, h]
+    t_w = sel(t2, TILE, lambda i, j: i % TILE == j)     # [n, w]
+    return e_p, t_q, r_h, t_w
+
+
+def _mm(a, b):
+    return jax.lax.dot_general(
+        a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+
+def _combined_weights(spec: _Spec, scal, gy, gx, transposed: bool):
+    """W2 [p_pad^2, TILE^2] (or its transpose) for one (RoI, window tile)."""
+    (_, _, _, _, ry, rx, off, y1, x1, bh, bw, hl, wl, _) = scal
+    wy = _axis_weights(spec, (gy - off).astype(jnp.float32), y1, bh, ry, hl)
+    wx = _axis_weights(spec, gx.astype(jnp.float32), x1, bw, rx, wl)
+    if transposed:
+        e_p, t_q, r_h, t_w = _expanders_t(spec.p_pad)
+        w2y = _mm(r_h, _mm(wy.T, e_p))  # [TILE^2, p_pad^2]
+        w2x = _mm(t_w, _mm(wx.T, t_q))
+    else:
+        e_p, t_q, r_h, t_w = _expanders(spec.p_pad)
+        w2y = _mm(e_p, _mm(wy, r_h))    # [p_pad^2, TILE^2]
+        w2x = _mm(t_q, _mm(wx, t_w))
+    return w2y * w2x
+
+
+def _read_scalars(ints_ref, floats_ref, j):
+    return (
+        ints_ref[0, j, 0],  # sy (absolute packed row of the RoI's first tile)
+        ints_ref[0, j, 1],  # sx
+        ints_ref[0, j, 2],  # nty
+        ints_ref[0, j, 3],  # ntx
+        ints_ref[0, j, 4],  # ry
+        ints_ref[0, j, 5],  # rx
+        ints_ref[0, j, 6],  # off (packed row offset of the RoI's level)
+        floats_ref[0, j, 0],  # y1 (level-relative)
+        floats_ref[0, j, 1],  # x1
+        floats_ref[0, j, 2],  # bh
+        floats_ref[0, j, 3],  # bw
+        floats_ref[0, j, 4],  # hl
+        floats_ref[0, j, 5],  # wl
+        floats_ref[0, j, 6],  # 1 / max(ry * rx, 1)
+    )
+
+
+def _tile_origin(spec: _Spec, scal, t):
+    sy, sx, ntx = scal[0], scal[1], scal[3]
+    tyi = t // ntx
+    txi = t - tyi * ntx
+    gy = jnp.minimum(sy + tyi * TILE, spec.h_tot - TILE)
+    gx = jnp.minimum(sx + txi * TILE, spec.w_tot - TILE)
+    return gy, gx
+
+
+def _fwd_kernel(ints_ref, floats_ref, packed_ref, out_ref, win_ref, sem_ref, *, spec: _Spec):
+    b = pl.program_id(0)
+    blk, c, p = spec.blk, spec.c, spec.p
+    dt = packed_ref.dtype
+
+    def window_dma(slot, gy, gx):
+        return pltpu.make_async_copy(
+            packed_ref.at[b, pl.ds(gy, TILE), pl.ds(gx, TILE)],
+            win_ref.at[slot],
+            sem_ref.at[slot],
+        )
+
+    scals = [_read_scalars(ints_ref, floats_ref, j) for j in range(blk)]
+    origins = [_tile_origin(spec, s, jnp.int32(0)) for s in scals]
+    # Prefetch every RoI's first window up-front: the DMA engine streams them
+    # while earlier RoIs compute.
+    for j in range(blk):
+        window_dma(j, *origins[j]).start()
+
+    def contribution(slot, w2):
+        win2 = win_ref[slot].reshape(TILE * TILE, c)
+        return _mm(w2.astype(dt), win2)  # [p_pad^2, C] f32
+
+    spare = blk  # extra buffer for the (rare) multi-tile RoIs
+    for j in range(blk):
+        scal = scals[j]
+        nty, ntx, cinv = scal[2], scal[3], scal[13]
+        window_dma(j, *origins[j]).wait()
+        acc = contribution(j, _combined_weights(spec, scal, *origins[j], False))
+
+        def extra_tile(t, acc):
+            gy, gx = _tile_origin(spec, scal, t)
+            dma = window_dma(spare, gy, gx)
+            dma.start()
+            w2 = _combined_weights(spec, scal, gy, gx, False)
+            dma.wait()
+            return acc + contribution(spare, w2)
+
+        acc = jax.lax.fori_loop(1, nty * ntx, extra_tile, acc)
+        pooled = (acc * cinv).reshape(spec.p_pad, spec.p_pad, c)
+        out_ref[0, j] = pooled[:p, :p].astype(out_ref.dtype)
+
+
+def _bwd_kernel(ints_ref, floats_ref, g_ref, zeros_ref, grad_ref, win_ref, sem_ref, *, spec: _Spec):
+    """Accumulates W2^T @ g windows into grad_ref with sequential RMW DMA.
+
+    zeros_ref is the aliased zero-initialized output buffer (unused as an
+    input value; the alias provides the initialization).
+    """
+    del zeros_ref
+    b = pl.program_id(0)
+    blk, c, p, p_pad = spec.blk, spec.c, spec.p, spec.p_pad
+
+    for j in range(blk):
+        scal = _read_scalars(ints_ref, floats_ref, j)
+        nty, ntx, cinv = scal[2], scal[3], scal[13]
+        g = g_ref[0, j].astype(jnp.float32) * cinv  # [p, p, C]
+        g2 = jnp.pad(g, ((0, p_pad - p), (0, p_pad - p), (0, 0))).reshape(
+            p_pad * p_pad, c
+        )
+
+        def rmw_tile(t, _):
+            gy, gx = _tile_origin(spec, scal, t)
+            w2t = _combined_weights(spec, scal, gy, gx, True)  # [TILE^2, p_pad^2]
+            gwin = _mm(w2t, g2).reshape(TILE, TILE, c)  # f32
+            region = grad_ref.at[b, pl.ds(gy, TILE), pl.ds(gx, TILE)]
+            read = pltpu.make_async_copy(region, win_ref, sem_ref)
+            read.start()
+            read.wait()
+            win_ref[...] = win_ref[...] + gwin
+            write = pltpu.make_async_copy(win_ref, region, sem_ref)
+            write.start()
+            write.wait()
+            return 0
+
+        jax.lax.fori_loop(0, nty * ntx, rmw_tile, 0)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _fused(spec: _Spec, packed, ints, floats):
+    return _fused_fwd(spec, packed, ints, floats)[0]
+
+
+def _fused_fwd(spec: _Spec, packed, ints, floats):
+    bsz, r = ints.shape[:2]
+    grid = (bsz, r // spec.blk)
+    smem_block = lambda width: pl.BlockSpec(  # noqa: E731
+        (1, spec.blk, width), lambda b, rb: (b, rb, 0), memory_space=pltpu.SMEM
+    )
+    out = pl.pallas_call(
+        partial(_fwd_kernel, spec=spec),
+        grid=grid,
+        in_specs=[
+            smem_block(ints.shape[-1]),
+            smem_block(floats.shape[-1]),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, spec.blk, spec.p, spec.p, spec.c),
+            lambda b, rb: (b, rb, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((bsz, r, spec.p, spec.p, spec.c), packed.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((spec.blk + 1, TILE, TILE, spec.c), packed.dtype),
+            pltpu.SemaphoreType.DMA((spec.blk + 1,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+        interpret=spec.interpret,
+    )(ints, floats, packed)
+    return out, (ints, floats)
+
+
+def _fused_bwd(spec: _Spec, res, g):
+    ints, floats = res
+    bsz, r = ints.shape[:2]
+    packed_shape = (spec.bsz, spec.h_tot, spec.w_tot, spec.c)
+    grid = (bsz, r // spec.blk)
+    smem_block = lambda width: pl.BlockSpec(  # noqa: E731
+        (1, spec.blk, width), lambda b, rb: (b, rb, 0), memory_space=pltpu.SMEM
+    )
+    zeros = jnp.zeros(packed_shape, jnp.float32)
+    grad = pl.pallas_call(
+        partial(_bwd_kernel, spec=spec),
+        grid=grid,
+        in_specs=[
+            smem_block(ints.shape[-1]),
+            smem_block(floats.shape[-1]),
+            pl.BlockSpec(
+                (1, spec.blk, spec.p, spec.p, spec.c),
+                lambda b, rb: (b, rb, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct(packed_shape, jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((TILE, TILE, spec.c), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+        input_output_aliases={3: 0},
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            has_side_effects=True,
+        ),
+        interpret=spec.interpret,
+    )(ints, floats, g, zeros)
+    return (
+        grad.astype(spec.dtype),
+        np.zeros(ints.shape, jax.dtypes.float0),
+        jnp.zeros_like(floats),
+    )
+
+
+_fused.defvjp(_fused_fwd, _fused_bwd)
+
+
+def fused_roi_align(packed, params, output_size: int = 7):
+    """Pallas multiscale RoIAlign over a packed pyramid.
+
+    packed: [B, H_total, W_max, C]; params: per-RoI dict from
+    :func:`transfusion_tpu.ops.roi_align.roi_sample_params`. Returns
+    [B, R, P, P, C] in packed's dtype.
+    """
+    bsz, ht, wt, c = packed.shape
+    r = params["bh"].shape[1]
+    p = output_size
+    p_pad = _round_up(p, 8)
+
+    c_pad = _round_up(c, 128)
+    packed_p = jnp.pad(
+        packed,
+        ((0, 0), (0, max(TILE - ht, 0)), (0, max(TILE - wt, 0)), (0, c_pad - c)),
+    )
+    h_tot, w_tot = packed_p.shape[1:3]
+
+    blk = min(8, r)
+    r_pad = _round_up(r, blk)
+
+    hl_i = params["hl"].astype(jnp.int32)
+    wl_i = params["wl"].astype(jnp.int32)
+    ay = jnp.clip(jnp.floor(params["y1"]).astype(jnp.int32), 0, jnp.maximum(hl_i - 1, 0))
+    ax = jnp.clip(jnp.floor(params["x1"]).astype(jnp.int32), 0, jnp.maximum(wl_i - 1, 0))
+    y2 = params["y1"] + params["bh"] * p
+    x2 = params["x1"] + params["bw"] * p
+    ly = jnp.clip(jnp.floor(y2).astype(jnp.int32) + 1, 0, hl_i - 1)
+    lx = jnp.clip(jnp.floor(x2).astype(jnp.int32) + 1, 0, wl_i - 1)
+    nty = jnp.maximum(-(-(ly - ay + 1) // TILE), 1)
+    ntx = jnp.maximum(-(-(lx - ax + 1) // TILE), 1)
+
+    ints = jnp.stack(
+        [params["off"] + ay, ax, nty, ntx, params["ry"], params["rx"], params["off"],
+         jnp.zeros_like(ay)],
+        axis=-1,
+    ).astype(jnp.int32)
+    floats = jnp.stack(
+        [params["y1"], params["x1"], params["bh"], params["bw"],
+         params["hl"], params["wl"], params["count_inv"],
+         jnp.zeros_like(params["y1"])],
+        axis=-1,
+    ).astype(jnp.float32)
+
+    if r_pad != r:
+        pad_i = jnp.zeros((bsz, r_pad - r, ints.shape[-1]), jnp.int32)
+        pad_i = pad_i.at[..., 2:4].set(1)  # nty = ntx = 1
+        ints = jnp.concatenate([ints, pad_i], axis=1)
+        pad_f = jnp.zeros((bsz, r_pad - r, floats.shape[-1]), jnp.float32)
+        pad_f = pad_f.at[..., 4:6].set(1.0)  # hl = wl = 1
+        floats = jnp.concatenate([floats, pad_f], axis=1)
+
+    spec = _Spec(
+        p=p, p_pad=p_pad, c=c_pad, blk=blk, h_tot=h_tot, w_tot=w_tot,
+        bsz=bsz, dtype=jnp.dtype(packed.dtype).name,
+        interpret=jax.default_backend() == "cpu",
+    )
+    out = _fused(spec, packed_p, ints, floats)
+    return out[:, :r, :, :, :c]
