@@ -35,12 +35,25 @@ LANG_LEN = 64
 K = 8  # model iterations inside the on-device loop
 
 
+def _enable_compile_cache():
+    import os
+
+    import jax
+
+    cache_dir = os.environ.get("TRANSFUSION_COMPILE_CACHE", "/root/repo/.jax_cache")
+    os.makedirs(cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
 def main():
     import jax
     import jax.numpy as jnp
     import numpy as np
     from jax import lax
 
+    _enable_compile_cache()
     from __graft_entry__ import _flagship_config
     from transfusion_tpu.models.detector import detections_from_outputs
     from transfusion_tpu.models.transfusion import TransFusion

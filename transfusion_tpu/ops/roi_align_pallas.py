@@ -69,9 +69,10 @@ def _axis_weights(spec: _Spec, origin_rel, a1, bin_sz, r_cnt, lim):
     [p_pad, TILE] f32, **unnormalized** (caller divides by the sample count).
     """
     p_pad, tile = spec.p_pad, TILE
-    rows = origin_rel + jax.lax.broadcasted_iota(jnp.float32, (1, 1, tile), 2)
-    p_iota = jax.lax.broadcasted_iota(jnp.float32, (p_pad, _CHUNK, 1), 0)
-    i_iota = jax.lax.broadcasted_iota(jnp.float32, (p_pad, _CHUNK, 1), 1)
+    # Mosaic's tpu.iota is integer-only: emit int32 iotas and convert.
+    rows = origin_rel + jax.lax.broadcasted_iota(jnp.int32, (1, 1, tile), 2).astype(jnp.float32)
+    p_iota = jax.lax.broadcasted_iota(jnp.int32, (p_pad, _CHUNK, 1), 0).astype(jnp.float32)
+    i_iota = jax.lax.broadcasted_iota(jnp.int32, (p_pad, _CHUNK, 1), 1).astype(jnp.float32)
     r_f = jnp.maximum(r_cnt.astype(jnp.float32), 1.0)
     n_chunks = pl.cdiv(r_cnt, _CHUNK)
 
@@ -174,7 +175,10 @@ def _tile_origin(spec: _Spec, scal, t):
     txi = t - tyi * ntx
     gy = jnp.minimum(sy + tyi * TILE, spec.h_tot - TILE)
     gx = jnp.minimum(sx + txi * TILE, spec.w_tot - TILE)
-    return gy, gx
+    # The packed pyramid's W axis is the sublane-tiled dim (8); sx is
+    # host-aligned to 8, TILE and w_tot are multiples of 8, so gx provably is
+    # too — Mosaic needs the annotation to accept the dynamic memref slice.
+    return gy, pl.multiple_of(gx, 8)
 
 
 def _fwd_kernel(ints_ref, floats_ref, packed_ref, out_ref, win_ref, sem_ref, *, spec: _Spec):
@@ -350,9 +354,16 @@ def fused_roi_align(packed, params, output_size: int = 7):
     p_pad = _round_up(p, 8)
 
     c_pad = _round_up(c, 128)
+    # W is the sublane-tiled dim: pad it to a multiple of 8 so clamped window
+    # origins (w_tot - TILE) stay 8-aligned.
     packed_p = jnp.pad(
         packed,
-        ((0, 0), (0, max(TILE - ht, 0)), (0, max(TILE - wt, 0)), (0, c_pad - c)),
+        (
+            (0, 0),
+            (0, max(TILE - ht, 0)),
+            (0, _round_up(max(wt, TILE), 8) - wt),
+            (0, c_pad - c),
+        ),
     )
     h_tot, w_tot = packed_p.shape[1:3]
 
@@ -363,6 +374,9 @@ def fused_roi_align(packed, params, output_size: int = 7):
     wl_i = params["wl"].astype(jnp.int32)
     ay = jnp.clip(jnp.floor(params["y1"]).astype(jnp.int32), 0, jnp.maximum(hl_i - 1, 0))
     ax = jnp.clip(jnp.floor(params["x1"]).astype(jnp.int32), 0, jnp.maximum(wl_i - 1, 0))
+    # Align window x-origins down to the 8-sublane boundary (Mosaic dynamic
+    # slice constraint); the multi-tile loop covers the widened span exactly.
+    ax = (ax // 8) * 8
     y2 = params["y1"] + params["bh"] * p
     x2 = params["x1"] + params["bw"] * p
     ly = jnp.clip(jnp.floor(y2).astype(jnp.int32) + 1, 0, hl_i - 1)
