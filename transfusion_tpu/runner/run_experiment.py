@@ -28,7 +28,8 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--debug", action="store_true", default=False,
                    help="reduced samples + small batch end-to-end check")
     p.add_argument("--resume-from", type=str, default="",
-                   help="path to a checkpoint directory to resume from")
+                   help="checkpoint directory, or wandb run id[:vN] / URL "
+                        "(downloads the model artifact)")
     p.add_argument("--run-test", action="store_true", default=False)
     p.add_argument("--run-val", action="store_true", default=False)
     p.add_argument("--epochs", type=int, default=None, help="override run.epochs")
@@ -90,7 +91,13 @@ def main(argv=None):
     mesh = make_mesh(model=args.mesh_model)
     trainer = EgoNaoTrainer(config, run_dir, debug=config["debug"], mesh=mesh)
 
-    resume = args.resume_from or None
+    # Local path, or wandb id[:vN] / URL artifact download
+    # (run_experiment.py:188-253).
+    from transfusion_tpu.runner.wandb_resume import resolve_resume
+
+    resume = resolve_resume(
+        args.resume_from or None, run_dir, args.wandb_entity, args.wandb_project
+    )
     if config["run"].get("run_test"):
         trainer.ensure_state(resume)
         result = trainer.evaluate(0, dataset=trainer.test_ds, source="test")
