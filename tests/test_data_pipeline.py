@@ -184,5 +184,5 @@ def test_loader_and_train_step(annots, ego_fixture):
                           last_noun_idx=ds.num_nouns - 1)
     step = make_train_step(model, tx, loss_cfg, jnp.ones(ds.num_nouns), jnp.ones(ds.num_verbs),
                            donate=False)
-    state, metrics = step(state, mb, jax.random.key(1), jnp.asarray([1.0, 1, 1, 1, 0]), (64, 64))
+    state, metrics = step(state, mb, jax.random.key(1), jnp.asarray([1.0, 1, 1, 1, 1, 0]), (64, 64))
     assert np.isfinite(float(metrics["loss"]))

@@ -189,7 +189,7 @@ def test_train_step_on_mesh():
         noun_w = jnp.ones(6)
         verb_w = jnp.ones(4)
         step = make_train_step(model, tx, loss_cfg, noun_w, verb_w, donate=False)
-        loss_w = jnp.asarray([1.0, 1.0, 1.0, 1.0, 0.5])
+        loss_w = jnp.asarray([1.0, 1.0, 1.0, 1.0, 1.0, 0.5])
 
         p0 = jax.tree.leaves(state.params)[0].copy()
         metrics_hist = []
@@ -206,3 +206,181 @@ def test_train_step_on_mesh():
     assert int(state.step) == 2
     # Batch really sharded over 8 devices.
     assert len(sharded["image"].sharding.device_set) == 8
+
+
+def test_criterion_weights_formula():
+    """6-slot criterion vector honors obj_prop / obj_prop_rate / lm_decay
+    (abc_nao_trainer.py:57-69,160-165)."""
+    from transfusion_tpu.train.step import criterion_weights
+
+    crit = {"bbox": 2.0, "obj_prop": 0.5, "noun": 1.0, "verb": 3.0, "ttc": 0.0,
+            "lm": 1.0, "lm_decay": 0.5, "obj_prop_rate": 0.9}
+    w0 = criterion_weights(crit, epoch=0)
+    np.testing.assert_allclose(w0, [2.0, 1.0, 1.0, 3.0, 0.0, 1.0])
+    w2 = criterion_weights(crit, epoch=2)
+    np.testing.assert_allclose(w2, [2.0, 1.0 * 0.9**2, 1.0, 3.0, 0.0, 0.25])
+    # Shipped-config semantics: obj_prop acts as an on/off gate at the bbox
+    # weight (ego_nao_trainer.py:296-304), no decay.
+    shipped = {"bbox": 1, "obj_prop": 1, "noun": 1, "verb": 1, "ttc": 1, "lm": 0}
+    np.testing.assert_allclose(criterion_weights(shipped, 7), [1, 1, 1, 1, 1, 0])
+
+
+def _tiny_transfusion():
+    from transfusion_tpu.models.detector import DetectorConfig
+    from transfusion_tpu.models.roi_heads import RoIConfig
+    from transfusion_tpu.models.rpn import RPNConfig
+    from transfusion_tpu.models.text_encoder import BertConfig
+    from transfusion_tpu.models.transfusion import FusionConfig, TransFusion, TransFusionConfig
+
+    cfg = TransFusionConfig(
+        detector=DetectorConfig(
+            roi=RoIConfig(num_nouns=6, num_verbs=4, representation_size=32,
+                          batch_size_per_image=8, detections_per_img=4),
+            rpn=RPNConfig(pre_nms_top_n_train=64, post_nms_top_n_train=32),
+        ),
+        fusion=FusionConfig(fpn_features=(3,), patch_h=(1,), patch_w=(1,),
+                            num_layers=(1,), token_dim=16, num_heads=2),
+        bert=BertConfig(vocab_size=50, hidden_size=16, num_layers=1, num_heads=2,
+                        intermediate_size=32, max_position_embeddings=16),
+        out_mlp=16,
+    )
+    return TransFusion(cfg)
+
+
+def test_freeze_masks_grads_and_nan_guard():
+    """Frozen subtrees keep exactly-zero RAdam moments through the frozen
+    phase (reference: requires_grad=False, ego_nao_trainer.py:265-272), and a
+    non-finite batch is skipped wholesale (params + opt state unchanged)."""
+    from transfusion_tpu.train.step import LossConfig, init_state, make_train_step
+
+    model = _tiny_transfusion()
+    rng = np.random.default_rng(1)
+    bsz = 2
+    batch = {
+        "image": jnp.asarray(rng.normal(0, 1, (bsz, 64, 64, 3)).astype(np.float32)),
+        "input_ids": jnp.asarray(rng.integers(0, 50, (bsz, 8)).astype(np.int32)),
+        "attention_mask": jnp.ones((bsz, 8), jnp.int32),
+        "targets": {
+            "boxes": jnp.asarray(np.tile([[10, 10, 40, 40]], (bsz, 1, 1)).astype(np.float32)),
+            "nouns": jnp.full((bsz, 1), 2),
+            "verbs": jnp.full((bsz, 1), 1),
+            "ttcs": jnp.full((bsz, 1), 0.8, jnp.float32),
+            "valid": jnp.ones((bsz, 1), bool),
+        },
+    }
+    tx, _ = make_optimizer({"name": "radam", "lr": 1e-3, "weight_decay": 1e-4},
+                           None, steps_per_epoch=10)
+    state = init_state(model, tx, dict(batch, image_hw=(64, 64)), jax.random.key(0))
+    loss_cfg = LossConfig(rpn_batch_size_per_image=16, last_noun_idx=5)
+    step = make_train_step(model, tx, loss_cfg, jnp.ones(6), jnp.ones(4), donate=False)
+    loss_w = jnp.asarray([1.0, 1, 1, 1, 0, 0])
+
+    def is_frozen_path(path):
+        return "backbone" in "/".join(str(getattr(p, "key", p)) for p in path)
+
+    mult = jax.tree_util.tree_map_with_path(
+        lambda p, _: 0.0 if is_frozen_path(p) else 1.0, state.params
+    )
+    frozen_p0 = {
+        "/".join(str(getattr(p, "key", p)) for p in path): np.asarray(leaf)
+        for path, leaf in jax.tree_util.tree_flatten_with_path(state.params)[0]
+        if is_frozen_path(path)
+    }
+
+    for i in range(2):
+        state, metrics = step(state, batch, jax.random.key(3 + i), loss_w, (64, 64), mult)
+    assert float(metrics["nonfinite_skipped"]) == 0.0
+
+    # Frozen params unchanged and their moments exactly zero; at least one
+    # unfrozen moment is non-zero.
+    moments = jax.tree_util.tree_flatten_with_path(state.opt_state)[0]
+    saw_frozen = saw_live = False
+    for path, leaf in moments:
+        joined = "/".join(str(getattr(p, "key", p)) for p in path)
+        if ".mu" not in joined and ".nu" not in joined and "mu/" not in joined \
+                and not any(str(getattr(p, "key", p)) in ("mu", "nu") for p in path):
+            continue
+        if "backbone" in joined:
+            assert np.all(np.asarray(leaf) == 0.0), joined
+            saw_frozen = True
+        elif np.any(np.asarray(leaf) != 0.0):
+            saw_live = True
+    assert saw_frozen and saw_live
+    for path, leaf in jax.tree_util.tree_flatten_with_path(state.params)[0]:
+        joined = "/".join(str(getattr(p, "key", p)) for p in path)
+        if is_frozen_path(path):
+            np.testing.assert_array_equal(np.asarray(leaf), frozen_p0[joined])
+
+    # NaN guard: a poisoned batch leaves params and opt state untouched.
+    before = jax.tree.map(np.asarray, (state.params, state.opt_state))
+    bad = dict(batch, image=batch["image"].at[0, 0, 0, 0].set(jnp.nan))
+    state, metrics = step(state, bad, jax.random.key(9), loss_w, (64, 64), mult)
+    assert float(metrics["nonfinite_skipped"]) == 1.0
+    after = jax.tree.map(np.asarray, (state.params, state.opt_state))
+    for b, a in zip(jax.tree.leaves(before), jax.tree.leaves(after)):
+        np.testing.assert_array_equal(b, a)
+    assert int(state.step) == 3
+
+
+def test_trainable_bn_swap_updates_stats(rng):
+    """model.batch_norm.use (replace_frozen_bn, obj_detection/utils.py:3-57):
+    the backbone runs live BatchNorm — batch_stats exist, update during a
+    train step, and stay fixed in eval."""
+    from transfusion_tpu.models.detector import DetectorConfig
+    from transfusion_tpu.models.roi_heads import RoIConfig
+    from transfusion_tpu.models.rpn import RPNConfig
+    from transfusion_tpu.models.text_encoder import BertConfig
+    from transfusion_tpu.models.transfusion import FusionConfig, TransFusion, TransFusionConfig
+    from transfusion_tpu.train.step import LossConfig, init_state, make_train_step
+
+    cfg = TransFusionConfig(
+        detector=DetectorConfig(
+            roi=RoIConfig(num_nouns=6, num_verbs=4, representation_size=32,
+                          batch_size_per_image=8, detections_per_img=4),
+            rpn=RPNConfig(pre_nms_top_n_train=64, post_nms_top_n_train=32),
+            trainable_bn=True, bn_momentum=0.1,
+        ),
+        fusion=FusionConfig(fpn_features=(3,), patch_h=(1,), patch_w=(1,),
+                            num_layers=(1,), token_dim=16, num_heads=2),
+        bert=BertConfig(vocab_size=50, hidden_size=16, num_layers=1, num_heads=2,
+                        intermediate_size=32, max_position_embeddings=16),
+        out_mlp=16,
+    )
+    model = TransFusion(cfg)
+    bsz = 2
+    batch = {
+        "image": jnp.asarray(rng.normal(0.5, 1.5, (bsz, 64, 64, 3)).astype(np.float32)),
+        "input_ids": jnp.asarray(rng.integers(0, 50, (bsz, 8)).astype(np.int32)),
+        "attention_mask": jnp.ones((bsz, 8), jnp.int32),
+        "targets": {
+            "boxes": jnp.asarray(np.tile([[10, 10, 40, 40]], (bsz, 1, 1)).astype(np.float32)),
+            "nouns": jnp.full((bsz, 1), 2),
+            "verbs": jnp.full((bsz, 1), 1),
+            "ttcs": jnp.full((bsz, 1), 0.8, jnp.float32),
+            "valid": jnp.ones((bsz, 1), bool),
+        },
+    }
+    tx, _ = make_optimizer({"name": "radam", "lr": 1e-3}, None, 10)
+    state = init_state(model, tx, dict(batch, image_hw=(64, 64)), jax.random.key(0))
+    assert state.batch_stats is not None
+    bs0 = jax.tree.map(np.asarray, state.batch_stats)
+    means0 = [l for l in jax.tree.leaves(bs0)]
+    assert means0  # stats actually exist
+
+    step = make_train_step(model, tx, LossConfig(rpn_batch_size_per_image=16, last_noun_idx=5),
+                           jnp.ones(6), jnp.ones(4), donate=False)
+    state, metrics = step(state, batch, jax.random.key(1), jnp.ones(6), (64, 64))
+    assert np.isfinite(float(metrics["loss"]))
+    changed = any(
+        not np.allclose(a, b)
+        for a, b in zip(jax.tree.leaves(bs0), jax.tree.leaves(jax.tree.map(np.asarray, state.batch_stats)))
+    )
+    assert changed, "batch stats did not update during training"
+
+    # Eval path consumes running stats without mutation.
+    from transfusion_tpu.train.step import make_eval_step
+
+    ev = make_eval_step(model, cfg.detector)
+    dets = ev(state.params, {k: v for k, v in batch.items() if k != "targets"}, (64, 64),
+              state.batch_stats)
+    assert np.asarray(dets["boxes"]).shape[0] == bsz

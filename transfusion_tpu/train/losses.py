@@ -118,6 +118,18 @@ def ttc_loss(ttc_preds, ttc_targets, verb_labels, beta: float, ttc_bg: bool = Fa
     return jnp.where(count > 0, total / jnp.maximum(count, 1), 0.0)
 
 
+def ttc_hand_loss(ttc_preds, det_valid, gt_ttcs, beta: float):
+    """Transformer-TTC-head criterion (ego_nao_trainer.py:326-359): each
+    image's first GT TTC is repeated over its detections; NaN targets and
+    invalid/negative-placeholder detections drop out; SmoothL1(beta) mean."""
+    tgt = jnp.broadcast_to(gt_ttcs[:, :1], ttc_preds.shape)
+    valid = det_valid & jnp.isfinite(tgt) & (ttc_preds >= 0)
+    losses = smooth_l1(ttc_preds - jnp.where(valid, tgt, 0.0), beta)
+    count = jnp.sum(valid)
+    total = jnp.sum(jnp.where(valid, losses, 0.0))
+    return jnp.where(count > 0, total / jnp.maximum(count, 1), 0.0)
+
+
 def lm_loss(lm_outputs, targets, last_noun_idx):
     """LM auxiliary CE (ego_nao_trainer.py:361-374): per-image first gt noun
     (remapping the moved class back to 0) and verb; mean of the two CEs."""

@@ -27,6 +27,9 @@ class TrainState(flax.struct.PyTreeNode):
     step: jnp.ndarray
     params: Any
     opt_state: Any
+    # Live BatchNorm running stats when model.batch_norm.use is set
+    # (replace_frozen_bn); None (empty pytree) otherwise.
+    batch_stats: Any = None
 
 
 @dataclass(frozen=True)
@@ -69,22 +72,34 @@ def compute_losses(outputs, batch, rng, loss_cfg: LossConfig, noun_w, verb_w):
             prop["reg_targets"],
             loss_cfg.rpn_batch_size_per_image,
         )
-    full_bbox = bbox + obj_l + rpn_box_l
-
     noun_l = L.noun_loss(roi["class_logits"], nouns, noun_w) if loss_cfg.noun_on else zero
     verb_l = (
         L.verb_loss(roi["verb_logits"], verbs, verb_w, loss_cfg.verb_bg) if loss_cfg.verb_on else zero
     )
-    ttc_l = (
-        L.ttc_loss(roi["ttcs"], ttcs_t, verbs, loss_cfg.ttc_beta, loss_cfg.ttc_bg, loss_cfg.ttc_bg_val)
-        if loss_cfg.ttc_on
-        else zero
-    )
+    if loss_cfg.ttc_on and "ttc_hand" in outputs:
+        # Transformer head second pass (ego_nao_trainer.py:326-359).
+        th = outputs["ttc_hand"]
+        ttc_l = L.ttc_hand_loss(th["ttcs"], th["valid"], batch["targets"]["ttcs"], loss_cfg.ttc_beta)
+    elif loss_cfg.ttc_on:
+        ttc_l = L.ttc_loss(
+            roi["ttcs"], ttcs_t, verbs, loss_cfg.ttc_beta, loss_cfg.ttc_bg, loss_cfg.ttc_bg_val
+        )
+    else:
+        ttc_l = zero
     lm_l = (
         L.lm_loss(outputs["lm"], batch["targets"], loss_cfg.last_noun_idx) if loss_cfg.lm_on else zero
     )
 
-    stacked = jnp.stack([full_bbox, noun_l, verb_l, ttc_l, lm_l])
+    # 6-slot criterion vector [bbox, obj_prop, noun, verb, ttc, lm]. The
+    # reference folds the RPN terms into full_bbox_loss under the bbox weight
+    # (ego_nao_trainer.py:296-304,377-379) and although it decays a
+    # curr_obj_prop_w by obj_prop_rate each epoch (abc_nao_trainer.py:165) it
+    # never applies it to any loss. We honor the schema: the trainer computes
+    # slot 1's weight as bbox_w * obj_prop * obj_prop_rate**epoch, which is
+    # exactly the reference total for its shipped semantics (obj_prop gates
+    # on/off at weight 1) and gives obj_prop/obj_prop_rate their documented
+    # meaning when non-default.
+    stacked = jnp.stack([bbox, obj_l + rpn_box_l, noun_l, verb_l, ttc_l, lm_l])
     metrics = {
         "bbox_loss": bbox,
         "objectness_loss": obj_l,
@@ -97,6 +112,31 @@ def compute_losses(outputs, batch, rng, loss_cfg: LossConfig, noun_w, verb_w):
     return stacked, metrics
 
 
+def criterion_weights(criterion: dict, epoch: int = 0):
+    """The 6-slot [bbox, obj_prop, noun, verb, ttc, lm] weight vector for an
+    epoch. Reference semantics: raw (unnormalized) weights combine the train
+    losses (ego_nao_trainer.py:377-379); RPN terms ride inside full_bbox under
+    the bbox weight gated by obj_prop > 0 (ego_nao_trainer.py:296-304); the lm
+    weight decays by lm_decay per epoch (abc_nao_trainer.py:160-163); and
+    obj_prop_rate decays a curr_obj_prop_w per epoch (abc_nao_trainer.py:165)
+    that the reference computes but never applies — here it decays slot 1,
+    the only reading under which the config key means anything."""
+    import numpy as np
+
+    bbox_w = criterion.get("bbox", 0)
+    lm_w = criterion.get("lm", 0)
+    lm_decay = criterion.get("lm_decay", 0)
+    if lm_decay:
+        lm_w = lm_w * lm_decay**epoch
+    obj_w = bbox_w * criterion.get("obj_prop", 0)
+    obj_w = obj_w * criterion.get("obj_prop_rate", 1) ** epoch
+    return np.array(
+        [bbox_w, obj_w, criterion.get("noun", 0), criterion.get("verb", 0),
+         criterion.get("ttc", 0), lm_w],
+        np.float32,
+    )
+
+
 def make_train_step(
     model,
     tx: optax.GradientTransformation,
@@ -106,8 +146,10 @@ def make_train_step(
     donate: bool = True,
 ) -> Callable:
     """Build the jit'd train step. loss_w is the dynamic criterion weight
-    vector [bbox, noun, verb, ttc, lm] (lm entry decays per epoch,
-    abc_nao_trainer.py:160-163)."""
+    vector [bbox, obj_prop, noun, verb, ttc, lm]; the lm entry decays per
+    epoch (abc_nao_trainer.py:160-163) and the obj_prop entry is
+    bbox_w * obj_prop * obj_prop_rate**epoch (abc_nao_trainer.py:68-69,165 —
+    see compute_losses for why)."""
 
     def step_fn(state: TrainState, batch, rng, loss_w, image_hw, update_mult=None):
         # image_hw is static: it selects the compile bucket (one program per
@@ -119,26 +161,58 @@ def make_train_step(
         r_sampling, r_dropout, r_rpn = jax.random.split(rng, 3)
 
         def loss_fn(params):
-            outputs = model.apply(
-                {"params": params},
-                batch,
-                True,
-                rngs={"sampling": r_sampling, "dropout": r_dropout},
-            )
+            variables = {"params": params}
+            if state.batch_stats is not None:
+                variables["batch_stats"] = state.batch_stats
+                outputs, mutated = model.apply(
+                    variables, batch, True,
+                    rngs={"sampling": r_sampling, "dropout": r_dropout},
+                    mutable=["batch_stats"],
+                )
+                new_bs = mutated["batch_stats"]
+            else:
+                outputs = model.apply(
+                    variables, batch, True,
+                    rngs={"sampling": r_sampling, "dropout": r_dropout},
+                )
+                new_bs = None
             stacked, metrics = compute_losses(outputs, batch, r_rpn, loss_cfg, noun_w, verb_w)
             if loss_cfg.agg_mean:
                 total = jnp.sum(stacked * loss_w)
             else:
                 total = jnp.sum(stacked)
-            return total, metrics
+            return total, (metrics, new_bs)
 
-        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        (loss, (metrics, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        if update_mult is not None:
+            # Freeze by masking the *gradients* (reference: requires_grad=False,
+            # ego_nao_trainer.py:265-272) so optimizer moments stay exactly zero
+            # through the frozen phase; also mask the updates so additive terms
+            # (weight decay) cannot move frozen params.
+            grads = jax.tree.map(lambda g, m: g * m, grads, update_mult)
         updates, opt_state = tx.update(grads, state.opt_state, state.params)
         if update_mult is not None:
             updates = jax.tree.map(lambda u, m: u * m, updates, update_mult)
         params = optax.apply_updates(state.params, updates)
-        metrics = {"loss": loss, **metrics}
-        return TrainState(step=state.step + 1, params=params, opt_state=opt_state), metrics
+        # Non-finite guard (the reference's documented failure mode is manual
+        # restart-on-NaN, README.md:62): a step whose loss or grads went
+        # non-finite is skipped wholesale — params and optimizer state keep
+        # their previous values — so one bad batch cannot poison training.
+        good = jnp.isfinite(loss)
+        for g in jax.tree.leaves(grads):
+            good &= jnp.all(jnp.isfinite(g))
+        keep = lambda new, old: jax.tree.map(  # noqa: E731
+            lambda n, o: jnp.where(good, n, o.astype(n.dtype)), new, old
+        )
+        params = keep(params, state.params)
+        opt_state = keep(opt_state, state.opt_state)
+        if new_bs is not None:
+            new_bs = keep(new_bs, state.batch_stats)
+        metrics = {"loss": loss, **metrics, "nonfinite_skipped": 1.0 - good.astype(jnp.float32)}
+        return (
+            TrainState(step=state.step + 1, params=params, opt_state=opt_state, batch_stats=new_bs),
+            metrics,
+        )
 
     return jax.jit(step_fn, static_argnums=(4,), donate_argnums=(0,) if donate else ())
 
@@ -148,12 +222,22 @@ def make_eval_step(model, detector_cfg, noun_verb_frequencies=None) -> Callable:
     fixed-shape detections for host-side metric/export."""
     from transfusion_tpu.models.detector import detections_from_outputs
 
-    def step_fn(params, batch, image_hw):
+    def step_fn(params, batch, image_hw, batch_stats=None):
         batch = dict(batch, image_hw=image_hw)
-        outputs = model.apply({"params": params}, batch, False)
+        variables = {"params": params}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        outputs = model.apply(variables, batch, False)
         dets = detections_from_outputs(
             outputs, detector_cfg, noun_verb_frequencies=noun_verb_frequencies, training=False
         )
+        if getattr(model.cfg, "ttc_hand", None) is not None and "hand_boxes" in batch:
+            # Transformer TTC second pass over the postprocessed detections
+            # (faster_rcnn_wrapper.py:219-263).
+            dets = model.apply(
+                {"params": params}, dets, outputs["roi_outputs"], batch, image_hw,
+                method="predict_ttc",
+            )
         return dets
 
     return jax.jit(step_fn, static_argnums=(2,))
@@ -166,4 +250,9 @@ def init_state(model, tx, batch, rng) -> TrainState:
         True,
     )
     params = variables["params"]
-    return TrainState(step=jnp.asarray(0), params=params, opt_state=tx.init(params))
+    return TrainState(
+        step=jnp.asarray(0),
+        params=params,
+        opt_state=tx.init(params),
+        batch_stats=variables.get("batch_stats"),
+    )
