@@ -132,3 +132,43 @@ def test_visual_features_end_to_end(rng):
         np.asarray(out["roi_outputs"]["class_logits"]),
         np.asarray(out2["roi_outputs"]["class_logits"]),
     )
+
+
+def test_space_time_layer_axis_plumbing(rng):
+    """The factorized layer equals looping my EncoderLayer over each time row
+    (spatial) then each spatial column (temporal) with the same params —
+    validates the reshape/transpose plumbing on a T != S grid (the reference
+    scrambles axes there, cross_f_box_layers.py:207-209; we implement the
+    intended factorization)."""
+    from transfusion_tpu.models.fusion import EncoderLayer
+    from transfusion_tpu.models.fusion_variants import SpaceTimeFusionLayer
+
+    b, t, s, d = 2, 3, 5, 16
+    x = jnp.asarray(rng.normal(0, 1, (b, t, s, d)).astype(np.float32))
+    layer = SpaceTimeFusionLayer(d, num_heads=2, dropout=0.0)
+    params = layer.init(jax.random.key(0), x)
+    out = layer.apply(params, x)
+    assert out.shape == (b, t, s, d)
+
+    enc = EncoderLayer(d, 2, 2.0, 0.0, "relu")
+    sp = {"params": params["params"]["spatial"]}
+    te = {"params": params["params"]["temporal"]}
+    ref = np.asarray(x).copy()
+    # spatial over each time row + extra residual
+    ref = ref + np.stack([np.asarray(enc.apply(sp, jnp.asarray(ref[:, i]))) for i in range(t)], 1)
+    # temporal over each spatial column + extra residual
+    ref = ref + np.stack([np.asarray(enc.apply(te, jnp.asarray(ref[:, :, j]))) for j in range(s)], 2)
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+
+
+def test_space_time_module_stack(rng):
+    from transfusion_tpu.models.fusion_variants import SpaceTimeFusionModule
+
+    x = jnp.asarray(rng.normal(0, 1, (1, 4, 4, 16)).astype(np.float32))
+    mod = SpaceTimeFusionModule(16, num_layers=2, num_heads=2,
+                                token_dropout=0.0, patch_dropout=0.0)
+    params = mod.init(jax.random.key(0), x)
+    out = mod.apply(params, x)
+    assert out.shape == x.shape
+    names = set(params["params"])
+    assert {"layer_0", "layer_1", "image_kind", "final_norm"} <= names

@@ -42,16 +42,59 @@ def sin1d_table(n: int, dim: int) -> np.ndarray:
     return pe
 
 
+def sin2d_table(h: int, w: int, dim: int) -> np.ndarray:
+    """2D sine/cosine table [h*w, dim] (``get_sin2d_embed``,
+    cross_fusion/utils.py:276-303, w_hmap_emb=False): first half of the
+    channels encodes the column, second half the row. NOTE the reference's
+    *box*-path sin2d branch is dead code (utils.py:188-190 reads undefined
+    ``self.feature_h`` -> AttributeError); the live use is the legacy heatmap
+    path, whose table this reproduces minus the prepended heatmap-token row."""
+    if dim % 4 != 0:
+        raise ValueError("sin2d requires dim % 4 == 0")
+    half = dim // 2
+    div = np.exp(np.arange(0, half, 2, dtype=np.float32) * (-math.log(10000.0) / half))
+    pe = np.zeros((dim, h, w), np.float32)
+    pos_w = np.arange(w, dtype=np.float32)[:, None]
+    pos_h = np.arange(h, dtype=np.float32)[:, None]
+    pe[0:half:2] = np.sin(pos_w * div).T[:, None, :].repeat(h, axis=1)
+    pe[1:half:2] = np.cos(pos_w * div).T[:, None, :].repeat(h, axis=1)
+    pe[half::2] = np.sin(pos_h * div).T[:, :, None].repeat(w, axis=2)
+    pe[half + 1 :: 2] = np.cos(pos_h * div).T[:, :, None].repeat(w, axis=2)
+    return pe.reshape(dim, -1).T
+
+
+def visual_token_mask(gh: int, gw: int, mask_type: str) -> np.ndarray | None:
+    """[N, N] bool, True = blocked (``get_visual_token_mask``,
+    cross_fusion/utils.py:9-32): under ``local_k`` a visual token attends to
+    the Chebyshev-``k`` window around itself (the reference's border clamping
+    reduces to intersecting the window with the grid). ``global`` -> None.
+    Static per (grid, type) like the reference's cache_masks dict."""
+    if mask_type == "global":
+        return None
+    if "local" not in mask_type:
+        raise NotImplementedError(f"unknown vis_mask_type {mask_type}")
+    k = int(mask_type.split("_")[-1])
+    rows = np.arange(gh * gw) // gw
+    cols = np.arange(gh * gw) % gw
+    near_r = np.abs(rows[:, None] - rows[None, :]) <= k
+    near_c = np.abs(cols[:, None] - cols[None, :]) <= k
+    return ~(near_r & near_c)
+
+
 class PositionalEmbedding(nn.Module):
     kind: str  # "sin1d" | "learned" | "zero"
     num_patches: int
     dim: int
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, grid_hw: tuple | None = None):
         n = x.shape[1]
         if self.kind == "sin1d":
             table = jnp.asarray(sin1d_table(self.num_patches, self.dim))
+        elif self.kind == "sin2d":
+            if grid_hw is None:
+                raise ValueError("sin2d positional embedding needs grid_hw")
+            table = jnp.asarray(sin2d_table(grid_hw[0], grid_hw[1], self.dim))
         elif self.kind == "learned":
             table = self.param("pos_embedding", nn.initializers.normal(1.0), (self.num_patches, self.dim))
         elif self.kind == "zero":
@@ -70,6 +113,13 @@ class EncoderLayer(nn.Module):
     dropout: float = 0.1
     activation: str = "gelu"
     dtype: Any = jnp.float32
+    # Route the eval-mode attention through the Pallas flash kernel
+    # (ops.attention.flash_self_attention). Config-selectable via
+    # FusionConfig.use_flash_attention; default off — measured end-to-end it
+    # composes slightly worse than XLA's fused attention at flagship shapes
+    # (43-44 vs 45-49 f/s), the pad/transpose boundary breaking producer
+    # fusion. Kept as a real flag for profiling-driven re-entry.
+    use_flash: bool = False
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None, attn_mask=None, deterministic=True):
@@ -80,14 +130,7 @@ class EncoderLayer(nn.Module):
             return nn.Dense(self.dim, dtype=self.dtype, name=name)(inp).reshape(b, l, self.num_heads, head_dim)
 
         q, k, v = proj("q_proj", x), proj("k_proj", x), proj("v_proj", x)
-        # The Pallas attention kernel (ops.attention.flash_self_attention)
-        # beats the XLA formulation ~40x in isolation at level-0 shapes, but
-        # measured end-to-end it composes slightly WORSE than XLA's own
-        # attention fusion here (43-44 vs 45-49 fps on the flagship bench),
-        # likely because the pad/transpose boundary breaks producer fusion.
-        # It stays available behind this flag for profiling-driven re-entry.
-        use_flash_kernel = False
-        if deterministic and attn_mask is None and use_flash_kernel:
+        if deterministic and attn_mask is None and self.use_flash:
             from transfusion_tpu.ops.attention import flash_self_attention
 
             ctx = flash_self_attention(
@@ -134,6 +177,7 @@ class FusionLevelConfig:
     patch_h: int = 4
     patch_w: int = 4
     vis_mask_type: str = "global"
+    use_flash_attention: bool = False
 
 
 class CrossFusionLevel(nn.Module):
@@ -169,7 +213,9 @@ class CrossFusionLevel(nn.Module):
         n = gh * gw
         vis = vis.reshape(b, n, cfg.token_dim)
 
-        vis = PositionalEmbedding(cfg.pos_embedding, MAX_NUM_PATCHES, cfg.token_dim, name="pos")(vis)
+        vis = PositionalEmbedding(cfg.pos_embedding, MAX_NUM_PATCHES, cfg.token_dim, name="pos")(
+            vis, grid_hw=(gh, gw)
+        )
         img_kind = self.param("image_kind", nn.initializers.normal(1.0), (1, 1, cfg.token_dim))
         lang_kind = self.param("lang_kind", nn.initializers.normal(1.0), (1, 1, cfg.token_dim))
         vis = vis + img_kind
@@ -184,8 +230,16 @@ class CrossFusionLevel(nn.Module):
             [jnp.zeros((b, n), bool), lang_mask == 0], axis=1
         )
         attn_mask = None
-        if cfg.vis_mask_type != "global":
-            raise NotImplementedError("local visual masks land with the Pallas attention kernel")
+        vis_mask = visual_token_mask(gh, gw, cfg.vis_mask_type)
+        if vis_mask is not None:
+            # Joint [L, L] mask (cross_f_box_layers.py:88-97): vis->vis uses
+            # the local window, vis->lang and lang->* fully attend. Static per
+            # resize bucket, so it folds into the compiled program.
+            l_lang = lang.shape[1]
+            total = n + l_lang
+            joint = np.zeros((total, total), bool)
+            joint[:n, :n] = vis_mask
+            attn_mask = jnp.asarray(joint)
 
         if self.shared_layers is not None:
             for layer in self.shared_layers:
@@ -194,7 +248,8 @@ class CrossFusionLevel(nn.Module):
             for i in range(cfg.num_layers):
                 x = EncoderLayer(
                     cfg.token_dim, cfg.num_heads, cfg.ff_multiplier, cfg.token_dropout,
-                    cfg.activation, self.dtype, name=f"layer_{i}",
+                    cfg.activation, self.dtype, use_flash=cfg.use_flash_attention,
+                    name=f"layer_{i}",
                 )(x, key_padding_mask=pad, attn_mask=attn_mask, deterministic=deterministic)
 
         vis_out = x[:, :n]

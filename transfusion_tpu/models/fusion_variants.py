@@ -178,3 +178,77 @@ class VisualFeatureFusion(nn.Module):
                 x, deterministic=deterministic
             )
         return x[:, :n], x[:, n:]
+
+
+class SpaceTimeFusionLayer(nn.Module):
+    """Factorized spatial-then-temporal attention over [B, T, S, D] token
+    grids (``SpaceTimeFusionLayer``, cross_f_box_layers.py:169-215): a full
+    encoder layer over the spatial axis at each timestep, an extra residual
+    (the reference adds the already-residual encoder output to its input —
+    reproduced), then the same over the temporal axis at each spatial site.
+
+    NOTE the reference reshapes the temporal output straight to
+    [b, T, S, d] without undoing its [b, S, T, d] transpose
+    (cross_f_box_layers.py:207-209) — silently axis-scrambled whenever
+    T != S; this implementation transposes back (the intended ViViT
+    factorization, exact for the reference's only exercised case T == S).
+    """
+
+    dim: int
+    num_heads: int = 4
+    ff_multiplier: float = 2.0
+    dropout: float = 0.1
+    activation: str = "relu"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        b, t, s, d = x.shape
+        h = EncoderLayer(self.dim, self.num_heads, self.ff_multiplier, self.dropout,
+                         self.activation, self.dtype, name="spatial")(
+            x.reshape(b * t, s, d), deterministic=deterministic)
+        x = x + h.reshape(b, t, s, d)
+
+        xt = x.transpose(0, 2, 1, 3).reshape(b * s, t, d)
+        h = EncoderLayer(self.dim, self.num_heads, self.ff_multiplier, self.dropout,
+                         self.activation, self.dtype, name="temporal")(
+            xt, deterministic=deterministic)
+        out = (xt + h).reshape(b, s, t, d).transpose(0, 2, 1, 3)
+        return out
+
+
+class SpaceTimeFusionModule(nn.Module):
+    """``SpaceTimeFusionModule`` (cross_f_box_layers.py:218-268): positional +
+    image-kind embeddings, N stacked SpaceTimeFusionLayers, optional final LN.
+    Operates on [B, T, S, D]. Unreachable from the shipped egonao wrapper
+    (the reference calls its fusion encoders with 4 positional args while this
+    module's forward accepts 2 — a TypeError in the reference itself); kept
+    as the flow/ViViT-style primitive it is."""
+
+    dim: int
+    num_layers: int = 2
+    num_heads: int = 4
+    ff_multiplier: float = 2.0
+    token_dropout: float = 0.1
+    patch_dropout: float = 0.1
+    activation: str = "relu"
+    pos_embedding: str = "sin1d"
+    final_norm: str = "ln"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        b, t, s, d = x.shape
+        pos = PositionalEmbedding(self.pos_embedding, MAX_NUM_PATCHES, self.dim, name="pos")
+        x = pos(x.reshape(b, t * s, d)).reshape(b, t, s, d)
+        img_kind = self.param("image_kind", nn.initializers.normal(1.0), (1, 1, 1, self.dim))
+        x = x + img_kind
+        x = nn.Dropout(self.patch_dropout, deterministic=deterministic)(x)
+        for i in range(self.num_layers):
+            x = SpaceTimeFusionLayer(
+                self.dim, self.num_heads, self.ff_multiplier, self.token_dropout,
+                self.activation, self.dtype, name=f"layer_{i}",
+            )(x, deterministic=deterministic)
+        if self.final_norm == "ln":
+            x = nn.LayerNorm(name="final_norm")(x)
+        return x
