@@ -107,3 +107,87 @@ def test_resnet50_fpn_shapes():
     assert out["0"].shape == (1, 64, 80, 256)
     assert out["3"].shape == (1, 8, 10, 256)
     assert out["pool"].shape == (1, 4, 5, 256)
+
+
+def test_mobilenet_stage_shapes(rng):
+    """MobileNetV3-Large trunk: stage outputs at strides 4/8/16/32 with
+    torchvision's returned_layers [1,2,3,4] channels (mobilenet_fpn_utils)."""
+    import jax
+
+    from transfusion_tpu.models.mobilenet import MOBILENET_CHANNELS, MobileNetV3Features
+
+    x = jnp.asarray(rng.normal(0, 1, (1, 64, 96, 3)).astype(np.float32))
+    m = MobileNetV3Features()
+    params = m.init(jax.random.key(0), x)
+    out = m.apply(params, x)
+    assert set(out) == {"0", "1", "2", "3"}
+    for lvl, stride in zip("0123", (4, 8, 16, 32)):
+        h, w, c = out[lvl].shape[1:]
+        assert (h, w) == (64 // stride, 96 // stride), lvl
+        assert c == MOBILENET_CHANNELS[lvl], lvl
+
+
+def test_mobilenet_inverted_residual_matches_torch(rng):
+    """One SE inverted-residual block vs a torch re-statement of
+    torchvision's InvertedResidual (expand -> depthwise -> SE -> project,
+    residual on stride-1 same-channels)."""
+    import jax
+    import torch
+    import torch.nn.functional as F
+
+    from transfusion_tpu.models.mobilenet import InvertedResidual
+
+    cin, exp, cout, k = 8, 16, 8, 3
+    x = rng.normal(0, 1, (1, 10, 12, cin)).astype(np.float32)
+    blk = InvertedResidual(k, exp, cout, True, "relu", 1)
+    params = blk.init(jax.random.key(0), jnp.asarray(x))["params"]
+    out = np.asarray(blk.apply({"params": params}, jnp.asarray(x)))
+
+    t = torch.from_numpy(x.transpose(0, 3, 1, 2))
+
+    def conv(t, p, stride=1, groups=1):
+        w = torch.from_numpy(np.asarray(p["conv"]["kernel"]).transpose(3, 2, 0, 1)).float()
+        return F.conv2d(t, w, None, stride, (w.shape[-1] - 1) // 2, 1, groups)
+
+    def bn(t, p):
+        sc = torch.from_numpy(np.asarray(p["bn"]["scale"]))
+        bi = torch.from_numpy(np.asarray(p["bn"]["bias"]))
+        mu = torch.from_numpy(np.asarray(p["bn"]["mean"]))
+        va = torch.from_numpy(np.asarray(p["bn"]["var"]))
+        return (t - mu[None, :, None, None]) / torch.sqrt(va[None, :, None, None] + 1e-3) \
+            * sc[None, :, None, None] + bi[None, :, None, None]
+
+    h = F.relu(bn(conv(t, params["expand"]), params["expand"]))
+    h = F.relu(bn(conv(h, params["depthwise"], groups=exp), params["depthwise"]))
+    s = h.mean(dim=(2, 3), keepdim=True)
+    w1 = torch.from_numpy(np.asarray(params["se"]["fc1"]["kernel"]).transpose(3, 2, 0, 1)).float()
+    b1 = torch.from_numpy(np.asarray(params["se"]["fc1"]["bias"]))
+    w2 = torch.from_numpy(np.asarray(params["se"]["fc2"]["kernel"]).transpose(3, 2, 0, 1)).float()
+    b2 = torch.from_numpy(np.asarray(params["se"]["fc2"]["bias"]))
+    s = F.conv2d(F.relu(F.conv2d(s, w1, b1)), w2, b2)
+    h = h * F.hardsigmoid(s)
+    h = bn(conv(h, params["project"]), params["project"])
+    ref = (h + t).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def test_detector_with_mobilenet_backbone(rng):
+    """model.type mobilenet builds and runs through FPN/RPN/RoI."""
+    import jax
+
+    from transfusion_tpu.models.detector import DetectorConfig, FasterRCNN
+    from transfusion_tpu.models.roi_heads import RoIConfig
+    from transfusion_tpu.models.rpn import RPNConfig
+
+    cfg = DetectorConfig(
+        roi=RoIConfig(num_nouns=6, num_verbs=4, representation_size=32,
+                      batch_size_per_image=8, detections_per_img=4),
+        rpn=RPNConfig(pre_nms_top_n_train=32, post_nms_top_n_train=16,
+                      pre_nms_top_n_test=32, post_nms_top_n_test=16),
+        backbone="mobilenet",
+    )
+    model = FasterRCNN(cfg)
+    img = jnp.asarray(rng.normal(0, 1, (1, 64, 64, 3)).astype(np.float32))
+    params = model.init({"params": jax.random.key(0)}, img, (64, 64), None, False)
+    out = model.apply(params, img, (64, 64), None, False)
+    assert "roi_outputs" in out and out["roi_outputs"]["class_logits"].shape[-1] == 6

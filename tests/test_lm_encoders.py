@@ -3,6 +3,7 @@
 import numpy as np
 import jax
 import jax.numpy as jnp
+import pytest
 import torch
 
 from transfusion_tpu.models.lm_encoders import (
@@ -116,3 +117,96 @@ def test_pooled_lm_encoder_embedding_mode(rng):
     params = mod.init(jax.random.key(0), ids, mask)["params"]
     out, m = mod.apply({"params": params}, ids, mask)
     assert out.shape == (3, 20)
+
+
+def test_model_v_dispatch_selects_towers():
+    """build_transfusion_config maps model_v onto the tower family
+    (LM_TO_TEXT_POOLING, run_experiment.py:53-61)."""
+    from transfusion_tpu.models.transfusion import build_transfusion_config
+
+    base = {
+        "run": {
+            "criterion": {"bbox": 1, "noun": 1, "verb": 1, "ttc": 0, "lm": 0},
+            "narration_embeds": {"use": True, "args": {"model_v": "distilgpt2", "out_mlp": 896}},
+            "narr_fusion": {"args": {}},
+        },
+        "model": {"representation_size": 1280, "rcnn_kwargs": {}},
+    }
+    cfg = build_transfusion_config(base, 8, 6)
+    assert cfg.text_encoder == "gpt2" and cfg.gpt2.hidden_size == 768
+    assert cfg.gpt2.num_layers == 6
+
+    base["run"]["narration_embeds"]["args"]["model_v"] = "flan-t5-small"
+    cfg = build_transfusion_config(base, 8, 6)
+    assert cfg.text_encoder == "t5" and cfg.t5.gated_ff and cfg.t5.num_layers == 8
+
+    base["run"]["narration_embeds"]["args"]["model_v"] = "t5-small"
+    cfg = build_transfusion_config(base, 8, 6)
+    assert cfg.text_encoder == "t5" and not cfg.t5.gated_ff and cfg.t5.ff_dim == 2048
+
+    base["run"]["narration_embeds"]["args"]["model_v"] = "all-MiniLM-L12-v2"
+    cfg = build_transfusion_config(base, 8, 6)
+    assert cfg.text_encoder == "sbert"
+
+
+@pytest.mark.parametrize("tower", ["gpt2", "t5"])
+def test_train_step_with_lm_tower_from_narration_strings(tower, rng):
+    """End-to-end: narration strings -> tower tokenizer -> one train step
+    (the reference's distilgpt2 / t5-wikihow runs, run_experiment.py:43-61)."""
+    import jax
+    import numpy as np
+
+    from transfusion_tpu.models.detector import DetectorConfig
+    from transfusion_tpu.models.lm_encoders import GPT2Config, T5Config
+    from transfusion_tpu.models.roi_heads import RoIConfig
+    from transfusion_tpu.models.rpn import RPNConfig
+    from transfusion_tpu.models.transfusion import FusionConfig, TransFusion, TransFusionConfig
+    from transfusion_tpu.runner.trainer import build_tokenizer
+    from transfusion_tpu.train.optim import make_optimizer
+    from transfusion_tpu.train.step import LossConfig, criterion_weights, init_state, make_train_step
+
+    if tower == "gpt2":
+        kw = dict(text_encoder="gpt2",
+                  gpt2=GPT2Config(vocab_size=50257, hidden_size=32, num_layers=1,
+                                  num_heads=2, max_positions=32))
+        tok = build_tokenizer("distilgpt2", max_length=12)
+    else:
+        kw = dict(text_encoder="t5",
+                  t5=T5Config(vocab_size=32128, hidden_size=32, num_layers=1,
+                              num_heads=2, head_dim=16, ff_dim=64))
+        tok = build_tokenizer("t5-small", max_length=12)
+
+    cfg = TransFusionConfig(
+        detector=DetectorConfig(
+            roi=RoIConfig(num_nouns=6, num_verbs=4, representation_size=32,
+                          batch_size_per_image=8, detections_per_img=4),
+            rpn=RPNConfig(pre_nms_top_n_train=64, post_nms_top_n_train=32),
+        ),
+        fusion=FusionConfig(fpn_features=(3,), patch_h=(1,), patch_w=(1,),
+                            num_layers=(1,), token_dim=16, num_heads=2),
+        out_mlp=16,
+        **kw,
+    )
+    model = TransFusion(cfg)
+    bsz = 2
+    ids, mask = tok.encode_batch(["wash the pan", "take the knife from the drawer"])
+    batch = {
+        "image": jnp.asarray(rng.normal(0, 1, (bsz, 64, 64, 3)).astype(np.float32)),
+        "input_ids": jnp.asarray(ids),
+        "attention_mask": jnp.asarray(mask),
+        "targets": {
+            "boxes": jnp.asarray(np.tile([[10, 10, 40, 40]], (bsz, 1, 1)).astype(np.float32)),
+            "nouns": jnp.full((bsz, 1), 2),
+            "verbs": jnp.full((bsz, 1), 1),
+            "ttcs": jnp.full((bsz, 1), 0.8, jnp.float32),
+            "valid": jnp.ones((bsz, 1), bool),
+        },
+    }
+    tx, _ = make_optimizer({"name": "radam", "lr": 1e-3}, None, 10)
+    state = init_state(model, tx, dict(batch, image_hw=(64, 64)), jax.random.key(0))
+    step = make_train_step(model, tx, LossConfig(rpn_batch_size_per_image=16, last_noun_idx=5),
+                           jnp.ones(6), jnp.ones(4), donate=False)
+    lw = jnp.asarray(criterion_weights({"bbox": 1, "obj_prop": 1, "noun": 1, "verb": 1}))
+    state, metrics = step(state, batch, jax.random.key(1), lw, (64, 64))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(state.step) == 1

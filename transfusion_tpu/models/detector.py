@@ -47,6 +47,13 @@ class DetectorConfig:
     fpn_out_channels: int = 256
     stride_in_1x1: bool = True  # adapt_to_detectron
     stage_sizes: tuple = (3, 4, 6, 3)  # ResNet-50; smaller for smoke tests
+    # model.type (rcnn_factory.py:25-32): res50 | mobilenet | mobilenet_320.
+    # The 320 variant differs only in resize/rpn defaults, which live in the
+    # run config here; both map onto the MobileNetV3-Large trunk.
+    backbone: str = "res50"
+    # model.batch_norm (replace_frozen_bn, obj_detection/utils.py:3-57).
+    trainable_bn: bool = False
+    bn_momentum: float = 0.1
     dtype: Any = jnp.float32
 
 
@@ -54,18 +61,28 @@ class FasterRCNN(nn.Module):
     cfg: DetectorConfig
 
     def setup(self):
-        self.backbone = ResNet(
-            stage_sizes=self.cfg.stage_sizes,
-            stride_in_1x1=self.cfg.stride_in_1x1,
-            dtype=self.cfg.dtype,
-        )
+        if self.cfg.backbone.startswith("mobilenet"):
+            from transfusion_tpu.models.mobilenet import MobileNetV3Features
+
+            self.backbone = MobileNetV3Features(dtype=self.cfg.dtype)
+        else:
+            self.backbone = ResNet(
+                stage_sizes=self.cfg.stage_sizes,
+                stride_in_1x1=self.cfg.stride_in_1x1,
+                dtype=self.cfg.dtype,
+                trainable_bn=self.cfg.trainable_bn,
+                bn_momentum=self.cfg.bn_momentum,
+            )
         self.fpn = FPN(out_channels=self.cfg.fpn_out_channels, dtype=self.cfg.dtype)
         self.rpn_head = RPNHead(num_anchors=len(self.cfg.rpn.aspect_ratios), dtype=self.cfg.dtype)
         self.box_head = BoxHead(self.cfg.roi.representation_size, dtype=self.cfg.dtype)
         self.predictors = RoIPredictors(self.cfg.roi, dtype=self.cfg.dtype)
 
-    def forward_features(self, images):
-        """Backbone body only — the fusion seam operates on this dict."""
+    def forward_features(self, images, train: bool = False):
+        """Backbone body only — the fusion seam operates on this dict.
+        ``train`` only matters under trainable BN (batch-stat updates)."""
+        if self.cfg.trainable_bn and not self.cfg.backbone.startswith("mobilenet"):
+            return self.backbone(images, train)
         return self.backbone(images)
 
     def apply_fpn(self, feats):
@@ -119,7 +136,7 @@ class FasterRCNN(nn.Module):
         }
 
     def __call__(self, images, image_hw, targets=None, train: bool = False):
-        feats = self.forward_features(images)
+        feats = self.forward_features(images, train)
         fpn_feats = self.apply_fpn(feats)
         return self.apply_rpn_roi(fpn_feats, image_hw, targets, train)
 

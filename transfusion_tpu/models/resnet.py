@@ -53,9 +53,15 @@ class ConvNorm(nn.Module):
     kernel: int
     stride: int = 1
     dtype: Any = jnp.float32
+    # model.batch_norm.use (replace_frozen_bn, obj_detection/utils.py:3-57):
+    # swap the frozen affine for a live BatchNorm with the configured
+    # momentum. torch momentum m means new = (1-m)*old + m*batch; flax
+    # momentum is the (1-m) factor.
+    trainable_bn: bool = False
+    bn_momentum: float = 0.1
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         pad = (self.kernel - 1) // 2
         x = nn.Conv(
             self.features,
@@ -66,6 +72,14 @@ class ConvNorm(nn.Module):
             dtype=self.dtype,
             name="conv",
         )(x)
+        if self.trainable_bn:
+            return nn.BatchNorm(
+                use_running_average=not train,
+                momentum=1.0 - self.bn_momentum,
+                epsilon=1e-5,
+                dtype=self.dtype,
+                name="bn",
+            )(x)
         return FrozenBatchNorm(self.features, dtype=self.dtype, name="bn")(x)
 
 
@@ -77,18 +91,21 @@ class Bottleneck(nn.Module):
     stride_in_1x1: bool = False
     project: bool = False
     dtype: Any = jnp.float32
+    trainable_bn: bool = False
+    bn_momentum: float = 0.1
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, train: bool = False):
         out = self.mid * 4
         s1, s2 = (self.stride, 1) if self.stride_in_1x1 else (1, self.stride)
-        h = ConvNorm(self.mid, 1, s1, self.dtype, name="conv1")(x)
-        h = nn.relu(h)
-        h = ConvNorm(self.mid, 3, s2, self.dtype, name="conv2")(h)
-        h = nn.relu(h)
-        h = ConvNorm(out, 1, 1, self.dtype, name="conv3")(h)
+        cn = lambda f, k, s, name: ConvNorm(  # noqa: E731
+            f, k, s, self.dtype, self.trainable_bn, self.bn_momentum, name=name
+        )
+        h = nn.relu(cn(self.mid, 1, s1, "conv1")(x, train))
+        h = nn.relu(cn(self.mid, 3, s2, "conv2")(h, train))
+        h = cn(out, 1, 1, "conv3")(h, train)
         if self.project:
-            x = ConvNorm(out, 1, self.stride, self.dtype, name="downsample")(x)
+            x = cn(out, 1, self.stride, "downsample")(x, train)
         return nn.relu(h + x)
 
 
@@ -98,10 +115,14 @@ class ResNet(nn.Module):
     stage_sizes: Sequence[int] = (3, 4, 6, 3)  # ResNet-50
     stride_in_1x1: bool = True  # detectron2 adaptation
     dtype: Any = jnp.float32
+    trainable_bn: bool = False
+    bn_momentum: float = 0.1
 
     @nn.compact
-    def __call__(self, x):
-        h = ConvNorm(64, 7, 2, self.dtype, name="stem")(x)
+    def __call__(self, x, train: bool = False):
+        h = ConvNorm(64, 7, 2, self.dtype, self.trainable_bn, self.bn_momentum, name="stem")(
+            x, train
+        )
         h = nn.relu(h)
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -118,8 +139,10 @@ class ResNet(nn.Module):
                     stride_in_1x1=self.stride_in_1x1,
                     project=(b == 0),
                     dtype=self.dtype,
+                    trainable_bn=self.trainable_bn,
+                    bn_momentum=self.bn_momentum,
                     name=f"layer{stage + 1}_{b}",
-                )(h)
+                )(h, train)
             feats[str(stage)] = h
             mid *= 2
         return feats

@@ -57,6 +57,10 @@ class RoIConfig:
     box_2_dropout: float = 0.0
     classif_dropout: float = 0.0
     ttc_on: bool = False
+    # Transformer TTC head second pass (ttc_hand_head.use): the per-RoI ttc
+    # output is a -1 placeholder (roi_wrappers.py:219-226) and real TTCs are
+    # produced over the postprocessed detections.
+    ttc_hand: bool = False
     additional_postprocessing: bool = False
     min_ttc: float = 0.251  # faster_rcnn_wrapper.py:20
 
@@ -101,7 +105,12 @@ class RoIPredictors(nn.Module):
         class_logits = nn.Dense(cfg.num_nouns, kernel_init=init, dtype=self.dtype, name="noun_classifier")(h)
         verb_logits = nn.Dense(cfg.num_verbs, kernel_init=init, dtype=self.dtype, name="verb_classifier")(h)
 
-        if cfg.ttc_on:
+        if cfg.ttc_on and cfg.ttc_hand:
+            # Transformer head: no linear layer exists; per-RoI slot carries
+            # the -1 placeholder (roi_wrappers.py:219-226) until the
+            # detection second pass fills it.
+            ttcs = -jnp.ones_like(class_logits[..., 0])
+        elif cfg.ttc_on:
             ttc_prelim = nn.Dense(1, dtype=self.dtype, name="ttc_pred_layer")(h)
             ttcs = jax.nn.softplus(ttc_prelim)[..., 0]
         else:
@@ -264,7 +273,9 @@ def postprocess_detections(
         keep2 = jnp.sum(conflicts & lower, axis=-1) == 0
         keep_valid = keep_valid & keep2
 
-        if not training:
+        if not training and not cfg.ttc_hand:
+            # With the transformer head the MIN_TTC clamp happens in its
+            # second pass instead (faster_rcnn_wrapper.py:253-257).
             det_ttcs = jnp.maximum(det_ttcs, cfg.min_ttc)
 
     return {

@@ -129,11 +129,29 @@ class NarrationEncoder(nn.Module):
     out_tanh: bool = False
     out_dropout: float = 0.1
     normalize: bool = True
+    # Inline `word<type>` markers in the narration add learned per-type
+    # vectors to the marked word's token embeddings after the encoder
+    # (SBertLayer, narr_pooling_layers.py:100-110,119-186). The marker
+    # parsing/token mapping is host-side (tokenizer.encode_batch_with_types);
+    # here a [B, L, T] mask selects which params each token accumulates.
+    type_embeddings: tuple = ()
+    type_embedding_init_div: float = 1.0
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, input_ids, attention_mask, deterministic: bool = True):
+    def __call__(self, input_ids, attention_mask, deterministic: bool = True,
+                 type_mask=None):
         tokens = BertEncoder(self.cfg, self.dtype, name="bert")(input_ids, attention_mask, deterministic)
+        if self.type_embeddings and type_mask is not None:
+            div = self.type_embedding_init_div
+            table = jnp.stack([
+                self.param(f"type_{name}",
+                           nn.initializers.normal(1.0 / div), (self.cfg.hidden_size,))
+                for name in self.type_embeddings
+            ])  # [T, H]
+            tokens = tokens + jnp.einsum(
+                "blt,th->blh", type_mask.astype(tokens.dtype), table.astype(tokens.dtype)
+            )
         if self.out_mode == "embedding":
             emb = mean_pool(tokens, attention_mask)
             if self.normalize:

@@ -17,6 +17,7 @@ from dataclasses import dataclass, field
 from typing import Any
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from transfusion_tpu.models.detector import DetectorConfig, FasterRCNN
@@ -44,6 +45,7 @@ class FusionConfig:
     forward_language_f: Any = False  # False | "direct" | "sum"
     replace_fpn_features: bool = True
     share_encoders: bool = False  # one transformer stack across all levels
+    use_flash_attention: bool = False  # Pallas attention kernel (eval path)
 
 
 @dataclass(frozen=True)
@@ -51,24 +53,56 @@ class TransFusionConfig:
     detector: DetectorConfig = field(default_factory=DetectorConfig)
     fusion: FusionConfig = field(default_factory=FusionConfig)
     bert: BertConfig = field(default_factory=BertConfig.minilm_l12)
+    # Language tower family (LM_TO_TEXT_POOLING, run_experiment.py:53-61):
+    # "sbert" -> BERT/MiniLM; "gpt2" -> distilgpt2 causal encoder;
+    # "t5" -> T5 encoder stack. gpt2/t5 carry their own config when selected.
+    text_encoder: str = "sbert"
+    gpt2: Any = None  # lm_encoders.GPT2Config when text_encoder == "gpt2"
+    t5: Any = None    # lm_encoders.T5Config when text_encoder == "t5"
     out_mlp: int | None = 896
     out_tanh: bool = False
     out_dropout: float = 0.1
     lm_on: bool = False
     lm_pooling: str = "mean"
     lm_use_ln: bool = True
+    # lm_args.multi (get_lm_layer, lm_layers.py:5-27): False -> single
+    # PoolPredictor on the last fused level; True -> one shared predictor
+    # averaged over every level's fused language tokens; "sep" -> a separate
+    # predictor per level, averaged.
+    lm_multi: Any = False
+    # lm_args.use_lm_f (cross_f_box_wrapper.py:80-81,223-225): classify the
+    # narration-encoder tokens instead of the fused ones (disables multi).
+    lm_use_f: bool = False
+    # Inline narration type embeddings (SBert path only,
+    # narr_pooling_layers.py:100-110).
+    type_embeddings: tuple = ()
+    type_embedding_init_div: float = 1.0
     use_language: bool = True
     # Precomputed clip-feature early fusion (VisLangFusionBoxWrapper,
     # cross_f_box_vis_language_wrapper.py): batch["visual_features"] [B, T, F]
     # fuses with each level's patch tokens before the language stage.
     use_visual_features: bool = False
     visual_feature_layers: int = 2
+    # Transformer TTC head over postprocessed detections (ttc_hand_head.use:
+    # True — roi_wrappers.py:289-304, faster_rcnn_wrapper.py:219-263).
+    ttc_hand: Any = None  # models.ttc_head.TTCHeadConfig when enabled
+    max_ttc_boxes: int = 5  # ttc_hand_head.max_ttc_boxes_per_image
     # Rematerialize the fusion levels in the backward pass (jax.checkpoint):
     # trades recompute for activation memory, the standard TPU lever for
     # growing the per-chip train batch past what the 896-dim joint attention
     # activations allow.
     remat_fusion: bool = False
     dtype: Any = jnp.float32
+
+
+def _mean_lm_outs(outs: list) -> dict:
+    """Average per-scale LM logits (MultiPoolPredictor[Sep],
+    lm_layers.py:84-125)."""
+    noun = sum(o["noun_logits"] for o in outs) / len(outs)
+    verb = None
+    if outs[0]["verb_logits"] is not None:
+        verb = sum(o["verb_logits"] for o in outs) / len(outs)
+    return {"noun_logits": noun, "verb_logits": verb}
 
 
 class TransFusion(nn.Module):
@@ -78,14 +112,35 @@ class TransFusion(nn.Module):
         c = self.cfg
         self.rcnn = FasterRCNN(c.detector)
         if c.use_language:
-            self.narr_encoder = NarrationEncoder(
-                c.bert,
-                out_mode="tokens",
-                out_mlp=c.out_mlp,
-                out_tanh=c.out_tanh,
-                out_dropout=c.out_dropout,
-                dtype=c.dtype,
-            )
+            if c.text_encoder == "gpt2":
+                from transfusion_tpu.models.lm_encoders import GPT2Encoder, PooledLMEncoder
+
+                # Params land under narr_encoder/encoder/... (attribute
+                # adoption), keeping freeze-path matching uniform.
+                self.narr_encoder = PooledLMEncoder(
+                    GPT2Encoder(c.gpt2, dtype=c.dtype),
+                    out_mode="tokens", out_mlp=c.out_mlp, out_tanh=c.out_tanh,
+                    out_dropout=c.out_dropout, dtype=c.dtype,
+                )
+            elif c.text_encoder == "t5":
+                from transfusion_tpu.models.lm_encoders import PooledLMEncoder, T5Encoder
+
+                self.narr_encoder = PooledLMEncoder(
+                    T5Encoder(c.t5, dtype=c.dtype),
+                    out_mode="tokens", out_mlp=c.out_mlp, out_tanh=c.out_tanh,
+                    out_dropout=c.out_dropout, dtype=c.dtype,
+                )
+            else:
+                self.narr_encoder = NarrationEncoder(
+                    c.bert,
+                    out_mode="tokens",
+                    out_mlp=c.out_mlp,
+                    out_tanh=c.out_tanh,
+                    out_dropout=c.out_dropout,
+                    type_embeddings=c.type_embeddings,
+                    type_embedding_init_div=c.type_embedding_init_div,
+                    dtype=c.dtype,
+                )
             shared_layers = None
             if c.fusion.share_encoders:
                 from transfusion_tpu.models.fusion import EncoderLayer
@@ -94,6 +149,7 @@ class TransFusion(nn.Module):
                     EncoderLayer(
                         c.fusion.token_dim, c.fusion.num_heads, c.fusion.ff_multiplier,
                         c.fusion.token_dropout, c.fusion.activation, c.dtype,
+                        use_flash=c.fusion.use_flash_attention,
                         name=f"shared_layer_{i}",
                     )
                     for i in range(c.fusion.num_layers[0])
@@ -111,6 +167,10 @@ class TransFusion(nn.Module):
                         dtype=c.dtype,
                         name=f"vis_fusion_{lvl}",
                     )
+            if c.detector.backbone.startswith("mobilenet"):
+                from transfusion_tpu.models.mobilenet import MOBILENET_CHANNELS as CHANNELS
+            else:
+                CHANNELS = RESNET50_CHANNELS
             for i, lvl in enumerate(c.fusion.fpn_features):
                 level_cfg = FusionLevelConfig(
                     token_dim=c.fusion.token_dim,
@@ -126,36 +186,54 @@ class TransFusion(nn.Module):
                     patch_h=c.fusion.patch_h[i],
                     patch_w=c.fusion.patch_w[i],
                     vis_mask_type=c.fusion.vis_mask_type,
+                    use_flash_attention=c.fusion.use_flash_attention,
                 )
                 levels.append(
                     CrossFusionLevel(
-                        level_cfg, RESNET50_CHANNELS[str(lvl)], dtype=c.dtype,
+                        level_cfg, CHANNELS[str(lvl)], dtype=c.dtype,
                         shared_layers=shared_layers,
                         vis_fusion=vis_fusion_mods.get(lvl),
                         name=f"fusion_{lvl}",
                     )
                 )
             self.fusion_levels = levels
+        if c.ttc_hand is not None:
+            from transfusion_tpu.models.ttc_head import TTCPredictionHead
+
+            self.ttc_hand_head = TTCPredictionHead(c.ttc_hand, dtype=c.dtype)
+        if c.use_language:
             if c.lm_on:
-                self.lm_layer = PoolPredictor(
+                mk_pool = lambda name=None: PoolPredictor(  # noqa: E731
                     num_nouns=c.detector.roi.num_nouns - 1,
                     num_verbs=c.detector.roi.num_verbs - 1,
                     pooling=c.lm_pooling,
                     use_ln=c.lm_use_ln,
                     dtype=c.dtype,
+                    name=name,
                 )
+                if c.lm_multi == "sep" and not c.lm_use_f:
+                    self.lm_layers = [
+                        mk_pool(f"lm_layer_{i}") for i in range(len(c.fusion.fpn_features))
+                    ]
+                else:
+                    self.lm_layer = mk_pool()
 
     def __call__(self, batch: dict, train: bool = False):
         """batch: image [B,H,W,3], image_hw tuple, optional input_ids/attention_mask,
         optional targets dict. Returns the reference output contract
         {"roi_outputs", "proposals", "image_sizes"[, "lm"]}."""
         c = self.cfg
-        feats = self.rcnn.forward_features(batch["image"])
+        feats = self.rcnn.forward_features(batch["image"], train)
 
         lang_out = None
+        mscale_lang = []
         if c.use_language:
+            narr_kwargs = {}
+            if c.text_encoder not in ("gpt2", "t5") and c.type_embeddings and "type_mask" in batch:
+                narr_kwargs["type_mask"] = batch["type_mask"]
             lang_tokens, lang_mask = self.narr_encoder(
-                batch["input_ids"], batch["attention_mask"], deterministic=not train
+                batch["input_ids"], batch["attention_mask"], deterministic=not train,
+                **narr_kwargs,
             )
             language_f = lang_tokens
             for i, lvl in enumerate(c.fusion.fpn_features):
@@ -170,6 +248,7 @@ class TransFusion(nn.Module):
                     fused, lang_out = level(
                         feats[key], language_f, lang_mask, not train, vis_f
                     )
+                mscale_lang.append(lang_out)
                 if c.fusion.forward_language_f == "direct":
                     language_f = lang_out
                 elif c.fusion.forward_language_f == "sum":
@@ -183,8 +262,84 @@ class TransFusion(nn.Module):
         )
 
         if c.use_language and c.lm_on:
-            outputs["lm"] = self.lm_layer(lang_out, lang_mask.astype(bool))
+            # get_lm_layer dispatch (lm_layers.py:5-27) + use_lm_f
+            # (cross_f_box_wrapper.py:223-225).
+            mask_b = lang_mask.astype(bool)
+            if c.lm_use_f:
+                outputs["lm"] = self.lm_layer(language_f, mask_b)
+            elif c.lm_multi == "sep":
+                outs = [layer(f, mask_b) for layer, f in zip(self.lm_layers, mscale_lang)]
+                outputs["lm"] = _mean_lm_outs(outs)
+            elif c.lm_multi:
+                outs = [self.lm_layer(f, mask_b) for f in mscale_lang]
+                outputs["lm"] = _mean_lm_outs(outs)
+            else:
+                outputs["lm"] = self.lm_layer(lang_out, mask_b)
+
+        if c.ttc_hand is not None and train and "hand_boxes" in batch:
+            # Training second pass (ego_nao_trainer.py:326-360): postprocess
+            # detections (no gradient flows through argmax/NMS), run the
+            # transformer head on their box features + hand history, and
+            # expose the per-detection TTCs for the criterion.
+            from transfusion_tpu.models.detector import detections_from_outputs
+
+            # The reference runs postprocess under no_grad, so the head's
+            # inputs (box features, det boxes) are detached — the ttc
+            # criterion trains only the head (ego_nao_trainer.py:325 comment).
+            dets = jax.tree.map(jax.lax.stop_gradient, detections_from_outputs(
+                outputs, c.detector, training=True
+            ))
+            roi_sg = dict(outputs["roi_outputs"],
+                          box_features=jax.lax.stop_gradient(outputs["roi_outputs"]["box_features"]))
+            second = self.predict_ttc(
+                dets, roi_sg, batch, batch["image_hw"], training=True
+            )
+            k = min(c.max_ttc_boxes, second["ttcs"].shape[1])
+            outputs["ttc_hand"] = {
+                "ttcs": second["ttcs"][:, :k],
+                "valid": second["valid"][:, :k],
+            }
         return outputs
+
+    def predict_ttc(self, dets: dict, roi_outputs: dict, batch: dict, image_hw,
+                    training: bool = False) -> dict:
+        """The detection second pass of the transformer TTC head
+        (``dets_from_outs``, faster_rcnn_wrapper.py:219-263): for the top
+        ``max_ttc_boxes`` detections per image, gather their RoI box features,
+        normalize their boxes, attach the batch's hand box/pose history, and
+        predict TTCs. The reference applies softplus both inside the head
+        (ttc_pred.py:158) and again on its output (faster_rcnn_wrapper.py:253)
+        — reproduced; MIN_TTC clamp in eval under additional_postprocessing.
+
+        Returns dets with the first ``max_ttc_boxes`` TTC slots replaced
+        (invalid slots and slots beyond the cap keep their values)."""
+        c = self.cfg
+        k = min(c.max_ttc_boxes, dets["boxes"].shape[1])
+        bf = roi_outputs["box_features"]  # [B, R, repr]
+        bsz = bf.shape[0]
+        idx = dets["prop_idx"][:, :k]
+        feats = jnp.take_along_axis(bf, idx[..., None], axis=1)  # [B, k, repr]
+        wh = jnp.asarray([image_hw[1], image_hw[0], image_hw[1], image_hw[0]], jnp.float32)
+        # Detections are at bucket resolution; normalized coordinates match
+        # the reference's orig-resolution normalization exactly (the resize is
+        # a per-axis linear map).
+        obj = dets["boxes"][:, :k].astype(jnp.float32) / wh
+        inputs = {
+            "box_features": feats.reshape(bsz * k, -1),
+            "object_boxes": obj.reshape(bsz * k, 1, 4),
+            "hand_boxes": jnp.repeat(batch["hand_boxes"], k, axis=0),
+            "hand_poses": jnp.repeat(batch["hand_poses"], k, axis=0),
+        }
+        ttc = self.ttc_hand_head(inputs, deterministic=not training)  # softplus'd
+        ttc = jax.nn.softplus(ttc)  # the reference's second softplus
+        if not training and c.detector.roi.additional_postprocessing:
+            ttc = jnp.maximum(ttc, c.detector.roi.min_ttc)
+        ttc = ttc.reshape(bsz, k)
+        valid_k = dets["valid"][:, :k]
+        new_ttcs = dets["ttcs"].at[:, :k].set(
+            jnp.where(valid_k, ttc.astype(dets["ttcs"].dtype), dets["ttcs"][:, :k])
+        )
+        return dict(dets, ttcs=new_ttcs)
 
 
 def build_transfusion_config(
@@ -206,6 +361,34 @@ def build_transfusion_config(
     narr_args = narr["args"]
     fusion_cfg = run["narr_fusion"]
 
+    # Transformer TTC head (model.ttc_hand_head + run.hand_args —
+    # model_factory.py:40-43, roi_wrappers.py:289-304).
+    ttc_hand_cfg = None
+    max_ttc_boxes = 5
+    tth = model.get("ttc_hand_head") or {}
+    if run["criterion"].get("ttc", 0) and tth.get("use"):
+        from transfusion_tpu.models.ttc_head import TTCHeadConfig
+
+        hand_args = run.get("hand_args") or {}
+        if not hand_args.get("use"):
+            # The reference reads run.hand_args unconditionally here
+            # (model_factory.py:40-43) and its collate would feed None hand
+            # tensors — fail loudly instead of training the head on nothing.
+            raise ValueError("model.ttc_hand_head.use requires run.hand_args.use")
+        ttc_hand_cfg = TTCHeadConfig(
+            feat_dim=tth.get("feat_dim", 1024),
+            ff_dim=tth.get("ff_dim", 1024),
+            num_heads=tth.get("num_heads", 4),
+            num_layers=tth.get("num_layers", 4),
+            dropout=tth.get("dropout", 0.1),
+            num_steps=hand_args.get("num_steps", 5),
+            emb_steps_hand=tth.get("emb_steps_hand", 100),
+            emb_steps_object=tth.get("emb_steps_object", 100),
+            hand_feat_dim=hand_args.get("hand_feat_dim", 63),
+            object_feat_dim=model["representation_size"],
+        )
+        max_ttc_boxes = tth.get("max_ttc_boxes_per_image", 5)
+
     roi = RoIConfig(
         num_nouns=num_nouns,
         num_verbs=num_verbs,
@@ -216,12 +399,16 @@ def build_transfusion_config(
         box_2_dropout=model.get("box_2_dropout", 0.0),
         classif_dropout=run.get("class_dropout", 0.0),
         ttc_on=bool(run["criterion"].get("ttc", 0)),
+        ttc_hand=ttc_hand_cfg is not None,
         additional_postprocessing=model.get("additional_postprocessing", False),
     )
     rpn = RPNConfig(score_thresh=rcnn_kwargs.get("rpn_score_thresh", 0.0))
     det = DetectorConfig(
         roi=roi,
         rpn=rpn,
+        backbone=model.get("type", "res50"),
+        trainable_bn=bool((model.get("batch_norm") or {}).get("use", False)),
+        bn_momentum=(model.get("batch_norm") or {}).get("momentum", 0.1),
         stride_in_1x1=model.get("adapt_to_detectron", False),
         # Additive knob (not in the reference schema): shrink the backbone
         # for smoke tests; defaults to ResNet-50.
@@ -229,13 +416,37 @@ def build_transfusion_config(
         dtype=dtype,
     )
 
+    # Language tower dispatch (LM_TO_TEXT_POOLING + LANG_MODEL_FEATURE_SIZES,
+    # run_experiment.py:43-61): sbert variants -> BERT/MiniLM stack, distilgpt2
+    # -> GPT-2 causal encoder, t5-*/flan-t5-* -> T5 encoder stack.
     model_v = narr_args.get("model_v", "all-MiniLM-L12-v2")
-    if model_v == "minilm-tiny":
+    text_encoder = "sbert"
+    gpt2_cfg = t5_cfg = None
+    bert = BertConfig.minilm_l12()
+    if model_v == "distilgpt2":
+        from transfusion_tpu.models.lm_encoders import GPT2Config
+
+        text_encoder = "gpt2"
+        gpt2_cfg = GPT2Config()  # distilgpt2: 768 hidden, 6 layers, 12 heads
+    elif model_v.startswith(("t5-", "flan-t5-")):
+        from transfusion_tpu.models.lm_encoders import T5Config
+
+        text_encoder = "t5"
+        t5_cfg = {
+            # t5_urls (narr_pooling_layers.py:332-337): t5-small/-large are
+            # the cnndm-wikihow finetunes of v1.0 T5 (relu FF); flan-t5 uses
+            # gated gelu (v1.1 geometry).
+            "t5-small": T5Config(),
+            "t5-large": T5Config(hidden_size=1024, num_layers=24, num_heads=16, ff_dim=4096),
+            "flan-t5-small": T5Config(hidden_size=512, num_layers=8, num_heads=6,
+                                      ff_dim=1024, gated_ff=True),
+            "flan-t5-large": T5Config(hidden_size=1024, num_layers=24, num_heads=16,
+                                      ff_dim=2816, gated_ff=True),
+        }[model_v]
+    elif model_v == "minilm-tiny":
         bert = BertConfig(hidden_size=64, num_layers=2, num_heads=4, intermediate_size=128)
     elif "L6" in model_v:
         bert = BertConfig.minilm_l6()
-    else:
-        bert = BertConfig.minilm_l12()
 
     fargs = fusion_cfg.get("args", {})
     fus = FusionConfig(
@@ -256,15 +467,29 @@ def build_transfusion_config(
         forward_language_f=fusion_cfg.get("forward_language_f", False),
         replace_fpn_features=fusion_cfg.get("replace_fpn_features", True),
         share_encoders=bool(fusion_cfg.get("share_encoders", False)),
+        # Additive knob (not in the reference schema): route fusion attention
+        # through the Pallas flash kernel.
+        use_flash_attention=bool(fargs.get("use_flash_attention", False)),
     )
     return TransFusionConfig(
         detector=det,
         fusion=fus,
         bert=bert,
+        text_encoder=text_encoder,
+        gpt2=gpt2_cfg,
+        t5=t5_cfg,
+        ttc_hand=ttc_hand_cfg,
+        max_ttc_boxes=max_ttc_boxes,
         out_mlp=narr_args.get("out_mlp"),
         out_tanh=bool(narr_args.get("out_tanh", False)),
         out_dropout=narr_args.get("out_dropout", 0.1),
         lm_on=bool(run["criterion"].get("lm", 0)),
+        lm_pooling=(fusion_cfg.get("lm_args") or {}).get("pooling", {}).get("type", "mean"),
+        lm_use_ln=bool((fusion_cfg.get("lm_args") or {}).get("pooling", {}).get("ln", True)),
+        lm_multi=(fusion_cfg.get("lm_args") or {}).get("multi", False),
+        lm_use_f=bool((fusion_cfg.get("lm_args") or {}).get("use_lm_f", False)),
+        type_embeddings=tuple(narr_args.get("type_embeddings") or ()),
+        type_embedding_init_div=narr_args.get("type_embedding_init_div", 1.0),
         use_language=bool(narr.get("use", True)),
         # VisLangFusionBoxWrapper selection (model_factory.py:78-91).
         use_visual_features=bool(narr.get("res50_f", False) or narr.get("slowfast_f_v", False)),
