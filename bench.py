@@ -26,9 +26,11 @@ measured number when a reference reproduction exists.
 """
 
 import json
+import sys
 import time
 
 REFERENCE_FPS_ESTIMATE = 50.0
+REFERENCE_TRAIN_FPS_ESTIMATE = 18.0  # ~0.4 TFLOP fwd * 3 for bwd on A100 TF32
 BATCH = 8
 H, W = 768, 1024
 LANG_LEN = 64
@@ -119,5 +121,84 @@ def main():
     )
 
 
+def main_train():
+    """--train: full train-step throughput (forward + 5-loss criterion +
+    backward + RAdam update) on one chip, same isolation methodology.
+    Prints ONE JSON line with the train metric instead of the eval one."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    _enable_compile_cache()
+    from __graft_entry__ import _flagship_config
+    from transfusion_tpu.models.transfusion import TransFusion
+    from transfusion_tpu.train.optim import make_optimizer
+    from transfusion_tpu.train.step import LossConfig, criterion_weights, init_state, make_train_step
+
+    cfg = _flagship_config()
+    model = TransFusion(cfg)
+    rng = np.random.default_rng(0)
+    nn_, nv = cfg.detector.roi.num_nouns, cfg.detector.roi.num_verbs
+    batch = {
+        "image": jnp.asarray(rng.normal(0, 0.7, (BATCH, H, W, 3)).astype(np.float32)),
+        "input_ids": jnp.asarray(rng.integers(0, 30000, (BATCH, LANG_LEN)).astype(np.int32)),
+        "attention_mask": jnp.ones((BATCH, LANG_LEN), jnp.int32),
+        "targets": {
+            "boxes": jnp.tile(jnp.asarray([[100.0, 100.0, 400.0, 400.0]]), (BATCH, 1, 1)),
+            "nouns": jnp.full((BATCH, 1), 2),
+            "verbs": jnp.full((BATCH, 1), 1),
+            "ttcs": jnp.full((BATCH, 1), 0.9, jnp.float32),
+            "valid": jnp.ones((BATCH, 1), bool),
+        },
+    }
+    tx, _ = make_optimizer({"name": "radam", "lr": 1e-4, "weight_decay": 1e-5}, None, 100)
+    state = init_state(model, tx, dict(batch, image_hw=(H, W)), jax.random.key(0))
+    loss_cfg = LossConfig(ttc_on=True, rpn_batch_size_per_image=256, last_noun_idx=nn_ - 1)
+    step = make_train_step(model, tx, loss_cfg, jnp.ones(nn_), jnp.ones(nv), donate=False)
+    lw = jnp.asarray(criterion_weights({"bbox": 1, "obj_prop": 1, "noun": 1, "verb": 1, "ttc": 1}))
+
+    @jax.jit
+    def train_scalar(state, batch, i):
+        b = dict(batch, image=batch["image"] + i * 1e-6)
+        new_state, metrics = step(state, b, jax.random.key(0), lw, (H, W))
+        return new_state, metrics["loss"]
+
+    @jax.jit
+    def null_program(x):
+        return x + 1.0
+
+    state, loss = train_scalar(state, batch, jnp.float32(0.0))
+    float(loss)
+    float(null_program(jnp.float32(0.0)))
+    rtts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(null_program(jnp.float32(t0 % 1.0)))
+        rtts.append(time.perf_counter() - t0)
+    rtt = min(rtts)
+
+    times = []
+    for k in range(K):
+        t0 = time.perf_counter()
+        state, loss = train_scalar(state, batch, jnp.float32(k + 1.0))
+        float(loss)
+        times.append(time.perf_counter() - t0)
+    dt = min(times) - rtt
+    fps = BATCH / max(dt, 1e-9)
+    print(
+        json.dumps(
+            {
+                "metric": "ego4dv2_train_768x1024_frames_per_sec_per_chip",
+                "value": round(fps, 2),
+                "unit": "frames/s/chip",
+                "vs_baseline": round(fps / REFERENCE_TRAIN_FPS_ESTIMATE, 3),
+            }
+        )
+    )
+
+
 if __name__ == "__main__":
-    main()
+    if "--train" in sys.argv:
+        main_train()
+    else:
+        main()

@@ -83,3 +83,87 @@ def test_step_timer():
         pass
     rep = t.report()
     assert "a" in rep and rep["a"] >= 0
+
+
+def test_hmap_metrics_match_reference_torch(rng):
+    """Oracle: the reference's torchmetrics classes re-expressed in torch
+    (hmap_metrics.py:8-123), streamed over two batches."""
+    import torch
+
+    from transfusion_tpu.metrics.hmap_metrics import CoordMetric, HeatmapAccuracy, MAEWithNorm
+
+    batches = []
+    for _ in range(2):
+        t = rng.uniform(0.1, 1.0, (3, 8, 10)).astype(np.float32)
+        p = (t + rng.normal(0, 0.2, t.shape)).astype(np.float32)
+        batches.append((p, t))
+
+    mae = MAEWithNorm(True)
+    acc = HeatmapAccuracy(True)
+    coord = CoordMetric((8, 10))
+    # torch reference accumulators
+    abs_sum = cnt = 0.0
+    diffs = area = 0.0
+    cdiffs = ctot = 0.0
+    for p, t in batches:
+        mae.update(p, t)
+        acc.update(p, t)
+        coord.update(p, t)
+
+        tp, tt = torch.from_numpy(p), torch.from_numpy(t)
+        tmax = torch.amax(tt, dim=(-1, -2), keepdim=True)
+        tn, pn = tt / tmax, tp / tmax
+        abs_sum += float(torch.abs(pn - tn).sum())
+        cnt += pn.numel()
+        area += float(torch.sum(tn > tn.std(dim=[-1, -2], unbiased=True, keepdim=True)))
+        diffs += float(torch.abs(pn - tn).sum())
+        n = tp.shape[0]
+        ta = tt.reshape(n, -1).max(-1)[1]
+        pa = tp.reshape(n, -1).max(-1)[1]
+        tc = np.stack(np.unravel_index(ta.numpy(), t.shape[1:]), -1)
+        pc = np.stack(np.unravel_index(pa.numpy(), t.shape[1:]), -1)
+        cdiffs += float((np.abs(tc - pc) / np.array([8.0, 10.0])).max(-1).sum())
+        ctot += n
+
+    np.testing.assert_allclose(mae.compute(), abs_sum / cnt, rtol=1e-6)
+    np.testing.assert_allclose(acc.compute(), diffs / area, rtol=1e-6)
+    np.testing.assert_allclose(coord.compute(), cdiffs / ctot, rtol=1e-6)
+
+
+def test_misc_layers_upsample_and_condition(rng):
+    """Legacy upsample + heatmap conditioning primitives
+    (modeling/layers/upsample_layers.py, heatmap_condition.py)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+    import torch.nn.functional as F
+
+    from transfusion_tpu.models.misc_layers import (
+        Conv2dHeatmapCondition,
+        SqueezeHeatmapCondition,
+        get_heatmap_cond_module,
+        get_upsample_l,
+    )
+
+    x = rng.normal(0, 1, (1, 6, 8, 3)).astype(np.float32)
+    up = get_upsample_l("bilinear")(3)
+    out = np.asarray(up.apply({}, jnp.asarray(x), (12, 16)))
+    ref = F.interpolate(torch.from_numpy(x.transpose(0, 3, 1, 2)), (12, 16),
+                        mode="bilinear", align_corners=True).numpy().transpose(0, 2, 3, 1)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    nn2d = get_upsample_l("nn2d")(3)
+    params = nn2d.init(jax.random.key(0), jnp.asarray(x), (12, 16))
+    assert nn2d.apply(params, jnp.asarray(x), (12, 16)).shape == (1, 12, 16, 3)
+
+    feats = jnp.asarray(rng.normal(0, 1, (2, 6, 8, 4)).astype(np.float32))
+    hmap = jnp.asarray(rng.normal(0, 1, (2, 6, 8, 1)).astype(np.float32))
+    cond = get_heatmap_cond_module({"type": "1x1"}, 4)
+    assert isinstance(cond, Conv2dHeatmapCondition)
+    p = cond.init(jax.random.key(0), feats, hmap)
+    assert cond.apply(p, feats, hmap).shape == feats.shape
+
+    se = get_heatmap_cond_module({"type": "se_block"}, 4)
+    assert isinstance(se, SqueezeHeatmapCondition)
+    p = se.init(jax.random.key(0), feats, hmap)
+    assert se.apply(p, feats, hmap).shape == feats.shape

@@ -99,6 +99,10 @@ class EgoNaoDataset:
     # visual-feature fusion variant; zero-filled when a uid is missing.
     visual_features_lookup: Any = None
     visual_features_shape: tuple = (6, 2304)
+    # Optional FrankMocap hand history (run.hand_args.use — the reference
+    # wraps the dataset in HandPosDataset, ego_nao_data.py:48-50): a
+    # data.hand_pose.HandPoseLookup supplying per-sample hand box/pose steps.
+    hand_pose_lookup: Any = None
 
     def __len__(self):
         return len(self.annots)
@@ -152,6 +156,11 @@ class EgoNaoDataset:
             if feats is None:
                 feats = np.zeros(self.visual_features_shape, np.float32)
             sample["visual_features"] = np.asarray(feats, np.float32)
+        if self.hand_pose_lookup is not None:
+            video = row[self.uid_col] if self.uid_col in row else row["video_id"]
+            hb, hp = self.hand_pose_lookup.get(video, int(row["Frame_no"]))
+            sample["hand_boxes"] = hb
+            sample["hand_poses"] = hp
         return sample
 
 
@@ -187,9 +196,20 @@ def collate(samples: list[dict], tokenizer=None, lang_max_length: int = 128) -> 
         "orig_hw": np.array([s["orig_shape"] for s in samples], np.int32),
     }
     if tokenizer is not None:
-        ids, mask = tokenizer.encode_batch([s["narration"] for s in samples], lang_max_length)
+        texts = [s["narration"] for s in samples]
+        type_names = getattr(tokenizer, "type_names", ())
+        if type_names:
+            # Inline `word<type>` markers -> per-token type mask
+            # (narr_pooling_layers.py:119-186).
+            ids, mask, tmask = tokenizer.encode_batch_with_types(texts, type_names, lang_max_length)
+            batch["type_mask"] = tmask
+        else:
+            ids, mask = tokenizer.encode_batch(texts, lang_max_length)
         batch["input_ids"] = ids
         batch["attention_mask"] = mask
     if "visual_features" in samples[0]:
         batch["visual_features"] = np.stack([s["visual_features"] for s in samples])
+    if "hand_boxes" in samples[0]:
+        batch["hand_boxes"] = np.stack([s["hand_boxes"] for s in samples])
+        batch["hand_poses"] = np.stack([s["hand_poses"] for s in samples])
     return batch

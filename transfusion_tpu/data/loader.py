@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import queue
 import threading
+import time
 from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
@@ -46,6 +47,13 @@ class DataLoader:
         self.lang_max_length = lang_max_length
         self.drop_last = training if drop_last is None else drop_last
         self.epoch = 0
+        # One persistent decode pool per loader (the reference's torch
+        # DataLoader keeps 6 workers alive, run_experiment.py:376-395) —
+        # rebuilding an executor per batch costs thread spawns on every step.
+        self._pool = ThreadPoolExecutor(max_workers=num_workers)
+        # host-side input timing: seconds spent decoding+collating per batch
+        # (consumed by the trainer for history.jsonl input/step accounting).
+        self.decode_times: list[float] = []
 
     def __len__(self):
         n = len(range(self.shard_index, len(self.dataset), self.num_shards))
@@ -59,20 +67,31 @@ class DataLoader:
         return idx[self.shard_index :: self.num_shards]
 
     def _make_batch(self, rng: np.random.Generator, indices: np.ndarray) -> dict:
+        t0 = time.perf_counter()
         buckets = self.dataset.aug.buckets
         bucket = buckets[rng.integers(len(buckets))] if self.training else self.dataset.aug.eval_bucket()
-        with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-            samples = list(
-                pool.map(
-                    lambda i: self.dataset.get_example(
-                        int(i), np.random.default_rng(rng.integers(2**31)), bucket, self.training
-                    ),
-                    indices,
-                )
+        seeds = [int(rng.integers(2**31)) for _ in indices]
+        samples = list(
+            self._pool.map(
+                lambda iw: self.dataset.get_example(
+                    int(iw[0]), np.random.default_rng(iw[1]), bucket, self.training
+                ),
+                zip(indices, seeds),
             )
+        )
         batch = collate(samples, self.tokenizer, self.lang_max_length)
         batch["image_hw"] = bucket
+        self.decode_times.append(time.perf_counter() - t0)
         return batch
+
+    def close(self):
+        self._pool.shutdown(wait=False)
+
+    def __del__(self):  # pragma: no cover - GC timing
+        try:
+            self._pool.shutdown(wait=False)
+        except Exception:
+            pass
 
     def __iter__(self):
         indices = self._epoch_indices()

@@ -58,6 +58,37 @@ def _is_model_shardable(path_str: str, shape) -> P | None:
     return None
 
 
+def _path_str(path) -> str:
+    return "/".join(str(getattr(p, "key", getattr(p, "idx", p))) for p in path)
+
+
+def opt_state_shardings(mesh: Mesh, tx_init, params, p_shardings):
+    """NamedSharding tree for an optax state: optimizer moments structurally
+    mirror the param tree (their leaf paths end with the full param path), so
+    each moment inherits its param's sharding; counts and other scalars stay
+    replicated. ``tx_init`` is the optimizer's init fn (evaluated abstractly;
+    nothing is materialized here)."""
+    import jax
+
+    abstract = jax.eval_shape(tx_init, jax.tree.map(
+        lambda l: jax.ShapeDtypeStruct(l.shape, l.dtype), params))
+    flat_params = jax.tree_util.tree_flatten_with_path(p_shardings)[0]
+    by_path = sorted(
+        ((_path_str(path), s) for path, s in flat_params),
+        key=lambda kv: -len(kv[0]),
+    )
+    rep = NamedSharding(mesh, P())
+
+    def assign(path, leaf):
+        ps = _path_str(path)
+        for k, s in by_path:
+            if ps == k or ps.endswith("/" + k):
+                return s
+        return rep
+
+    return jax.tree_util.tree_map_with_path(assign, abstract)
+
+
 def param_shardings(mesh: Mesh, params):
     """NamedSharding tree for params: replicated on 'data'; the rule above
     over 'model' when the axis is >1."""

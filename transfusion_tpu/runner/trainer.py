@@ -38,18 +38,68 @@ from transfusion_tpu.data.labels import (
 )
 from transfusion_tpu.data.loader import DataLoader
 from transfusion_tpu.data.splits import apply_split, load_split
-from transfusion_tpu.data.tokenizer import WordPieceTokenizer, hash_vocab_tokenizer
+from transfusion_tpu.data.tokenizer import (
+    GPT2BPETokenizer,
+    SentencePieceTokenizer,
+    WordPieceTokenizer,
+    hash_gpt2_tokenizer,
+    hash_t5_tokenizer,
+    hash_vocab_tokenizer,
+)
 from transfusion_tpu.data.transforms import AugConfig
 from transfusion_tpu.metrics import STAMeanAveragePrecision
 from transfusion_tpu.models.transfusion import TransFusion, build_transfusion_config
-from transfusion_tpu.parallel.mesh import make_mesh, shard_batch
+from transfusion_tpu.parallel.mesh import (
+    make_mesh,
+    opt_state_shardings,
+    param_shardings,
+    shard_batch,
+)
 from transfusion_tpu.runner.export import detections_to_results, write_result_json
 from transfusion_tpu.train.checkpoint import CheckpointManager, monitor_metric_name, replace_heads
 from transfusion_tpu.train.losses import build_class_weights
 from transfusion_tpu.train.optim import make_optimizer
-from transfusion_tpu.train.step import LossConfig, init_state, make_eval_step, make_train_step
+from transfusion_tpu.train.step import (
+    LossConfig,
+    criterion_weights,
+    init_state,
+    make_eval_step,
+    make_train_step,
+)
 
 log = logging.getLogger("transfusion_tpu")
+
+
+def build_tokenizer(model_v: str, max_length: int = 128):
+    """Host-side tokenizer matching the language tower the config selects
+    (the reference tokenizes inside the model via AutoTokenizer,
+    narr_pooling_layers.py:270,351; here it is a data-pipeline step).
+
+    Vocab files come from env vars so everything stays offline:
+      * sbert variants: TOKENIZER_VOCAB -> WordPiece vocab.txt
+      * distilgpt2:     GPT2_VOCAB_JSON + GPT2_MERGES (or TOKENIZER_DIR)
+      * t5-*/flan-t5-*: T5_SPM .model protobuf (or TOKENIZER_DIR/spiece.model)
+    Deterministic hash fallbacks keep every path runnable without files
+    (NOT checkpoint-compatible; a warning is logged)."""
+    tok_dir = os.environ.get("TOKENIZER_DIR", "")
+    if model_v == "distilgpt2":
+        vj = os.environ.get("GPT2_VOCAB_JSON", os.path.join(tok_dir, "vocab.json"))
+        mg = os.environ.get("GPT2_MERGES", os.path.join(tok_dir, "merges.txt"))
+        if os.path.isfile(vj) and os.path.isfile(mg):
+            return GPT2BPETokenizer.from_files(vj, mg, max_length=max_length)
+        log.warning("no GPT-2 vocab/merges files; using hash-fallback BPE tokenizer")
+        return hash_gpt2_tokenizer(max_length=max_length)
+    if model_v.startswith(("t5-", "flan-t5-")):
+        spm = os.environ.get("T5_SPM", os.path.join(tok_dir, "spiece.model"))
+        if os.path.isfile(spm):
+            return SentencePieceTokenizer.from_model_file(spm, max_length=max_length)
+        log.warning("no T5 spiece.model; using hash-fallback unigram tokenizer")
+        return hash_t5_tokenizer(max_length=max_length)
+    vocab_path = os.environ.get("TOKENIZER_VOCAB", "")
+    if vocab_path and os.path.isfile(vocab_path):
+        return WordPieceTokenizer.from_vocab_file(vocab_path, max_length=max_length)
+    log.warning("no TOKENIZER_VOCAB file; using deterministic hash vocab")
+    return hash_vocab_tokenizer(max_length=max_length)
 
 
 def dataset_root(config: dict) -> str:
@@ -60,7 +110,7 @@ def dataset_root(config: dict) -> str:
 
 def unfreeze_multipliers(params, epoch: int, model_cfg: dict, narr_train_ep: int,
                          narr_finetune_layers: int, num_bert_layers: int,
-                         freeze_backbone_at: int = -1):
+                         freeze_backbone_at: int = -1, text_encoder: str = "sbert"):
     """0/1 multiplier tree for optimizer updates implementing the epoch
     triggers: backbone body frozen until model train_ep (and only
     ``trainable_layers`` deepest stages ever unfreeze,
@@ -71,13 +121,33 @@ def unfreeze_multipliers(params, epoch: int, model_cfg: dict, narr_train_ep: int
     train_ep = model_cfg.get("train_ep", -1)
     trainable_layers = model_cfg.get("trainable_layers", 0)
     backbone_on = train_ep != -1 and epoch >= train_ep
-    # layers_to_train = [layer4, layer3, layer2, layer1, stem][:trainable_layers]
-    unfrozen_stages = {f"layer{4 - i}" for i in range(min(trainable_layers, 4))}
-    if trainable_layers == 5:
-        unfrozen_stages.add("stem")
+    if str(model_cfg.get("type", "res50")).startswith("mobilenet"):
+        # torchvision mobilenet_backbone freezes up to
+        # stage_indices[num_stages - trainable_layers]; stages start at
+        # features [0, 2, 4, 7, 13, 16] -> stem, block_1/3/6/12, head.
+        stage_first_block = [None, 1, 3, 6, 12]  # None = stem
+        k = min(trainable_layers, 6)
+        cut = 15 if k <= 1 else stage_first_block[6 - k] if 6 - k >= 1 else -1
+        unfrozen_stages = {f"block_{i}" for i in range(0 if cut < 0 else cut, 15)}
+        if k >= 6:
+            unfrozen_stages.add("stem")
+    else:
+        # layers_to_train = [layer4, layer3, layer2, layer1, stem][:trainable_layers]
+        unfrozen_stages = {f"layer{4 - i}" for i in range(min(trainable_layers, 4))}
+        if trainable_layers == 5:
+            unfrozen_stages.add("stem")
 
     narr_on = narr_train_ep != -1 and epoch >= narr_train_ep
-    unfrozen_bert = {f"layer_{num_bert_layers - 1 - i}" for i in range(narr_finetune_layers)}
+    # Per-tower unfreeze sets: SBert's last finetune_layers
+    # (narr_pooling_layers.py:86-113); GPT-2's block-5 MLP
+    # (narr_pooling_layers.py:279-284); T5's last encoder block
+    # (narr_pooling_layers.py:360-365).
+    if text_encoder == "gpt2":
+        unfrozen_bert = {f"h_{num_bert_layers - 1}/mlp"}
+    elif text_encoder == "t5":
+        unfrozen_bert = {f"block_{num_bert_layers - 1}"}
+    else:
+        unfrozen_bert = {f"layer_{num_bert_layers - 1 - i}" for i in range(narr_finetune_layers)}
 
     roi_only = freeze_backbone_at != -1 and epoch >= freeze_backbone_at
 
@@ -95,6 +165,21 @@ def unfreeze_multipliers(params, epoch: int, model_cfg: dict, narr_train_ep: int
         return 1.0
 
     return jax.tree_util.tree_map_with_path(assign, params)
+
+
+class _ZeroHandLookup:
+    """Zero-filled hand history when the FrankMocap cache is unavailable —
+    keeps the ttc_hand_head path runnable (the head sees all-zero hands,
+    matching the reference's missing-detection zero-fill)."""
+
+    def __init__(self, num_steps: int = 5):
+        self.num_steps = num_steps
+
+    def get(self, video_id, frame_idx):
+        from transfusion_tpu.data.hand_pose import HAND_FEAT_DIM
+
+        n = 2 * self.num_steps
+        return np.zeros((n, 4), np.float32), np.zeros((n, HAND_FEAT_DIM), np.float32)
 
 
 @dataclass
@@ -195,10 +280,26 @@ class EgoNaoTrainer:
         frames_dir = os.path.join(root, "object_frames")
         uid_col = "video_uid" if cfg["dataset"]["name"].endswith("v2") else "video_id"
         verb_bg = self.run.get("verb_bg", False)
+        # FrankMocap hand history for the transformer TTC head
+        # (run.hand_args — ego_nao_data.py:48-50 wraps with HandPosDataset).
+        hand_lookup = None
+        hand_args = self.run.get("hand_args") or {}
+        if hand_args.get("use"):
+            from transfusion_tpu.data.hand_pose import HandPoseLookup
+
+            hand_path = os.path.expandvars(hand_args.get("path", ""))
+            if hand_path and os.path.isfile(hand_path):
+                hand_lookup = HandPoseLookup(
+                    hand_path, hand_args.get("num_steps", 5), hand_args.get("step", 5)
+                )
+            else:
+                log.warning("hand_args.use set but cache %r missing; hand inputs zero-filled", hand_path)
+                hand_lookup = _ZeroHandLookup(hand_args.get("num_steps", 5))
+
         mk = lambda df: EgoNaoDataset(
             annots=df, frames_dir=frames_dir, noun_mapping=self.noun_mapping,
             verb_mapping=self.verb_mapping, aug=self.aug, narration_lookup=lookup,
-            uid_col=uid_col, verb_bg=verb_bg,
+            uid_col=uid_col, verb_bg=verb_bg, hand_pose_lookup=hand_lookup,
         )
         self.train_ds, self.val_ds, self.test_ds = mk(train_df), mk(val_df), mk(test_df)
         self.num_nouns = self.train_ds.num_nouns
@@ -218,13 +319,10 @@ class EgoNaoTrainer:
             frequencies_to_array(freqs, self.num_nouns, self.num_verbs)
         )
 
-        vocab_path = os.environ.get("TOKENIZER_VOCAB", "")
-        narr_max_len = 128
-        if vocab_path and os.path.isfile(vocab_path):
-            self.tokenizer = WordPieceTokenizer.from_vocab_file(vocab_path, max_length=narr_max_len)
-        else:
-            log.warning("no TOKENIZER_VOCAB file; using deterministic hash vocab")
-            self.tokenizer = hash_vocab_tokenizer(max_length=narr_max_len)
+        self.tokenizer = build_tokenizer(narr_args.get("model_v", "all-MiniLM-L12-v2"))
+        type_names = tuple(narr_args.get("type_embeddings") or ())
+        if type_names and hasattr(self.tokenizer, "encode_batch_with_types"):
+            self.tokenizer.type_names = type_names
 
     # --------------------------------------------------------------- model
     def _build_model(self):
@@ -273,11 +371,7 @@ class EgoNaoTrainer:
             ),
             last_noun_idx=self.num_nouns - 1,
         )
-        # [bbox, noun, verb, ttc, lm] raw criterion weights (abc_nao_trainer.py:57-67).
-        self.loss_w = np.array(
-            [criterion.get(k, 0) for k in ("bbox", "noun", "verb", "ttc", "lm")], np.float32
-        )
-        self.lm_decay = criterion.get("lm_decay", 0)
+        self.criterion = criterion
 
     def _build_steps(self):
         self.train_step = make_train_step(
@@ -311,11 +405,31 @@ class EgoNaoTrainer:
         if self.state is not None:
             return
         bucket = self.aug.buckets[0]
-        self.state = init_state(
-            self.model, self.tx, self._example_batch(bucket), jax.random.key(self.seed)
-        )
+        with self.mesh:
+            state = init_state(
+                self.model, self.tx, self._example_batch(bucket), jax.random.key(self.seed)
+            )
+            # Apply the mesh placement: params replicated over 'data' and (for
+            # --mesh-model > 1) large fusion/box-head matmuls sharded over
+            # 'model'; re-initializing the optimizer on the placed params
+            # propagates the same shardings into the moments, so the train
+            # step is partitioned end-to-end (SURVEY §2.6).
+            p_sh = param_shardings(self.mesh, state.params)
+            params = jax.device_put(state.params, p_sh)
+            opt_state = jax.jit(
+                self.tx.init,
+                out_shardings=opt_state_shardings(self.mesh, self.tx.init, params, p_sh),
+            )(params)
+            batch_stats = state.batch_stats
+            if batch_stats is not None:
+                from transfusion_tpu.parallel.mesh import replicated
+
+                batch_stats = jax.device_put(batch_stats, replicated(self.mesh))
+            self.state = state.replace(params=params, opt_state=opt_state, batch_stats=batch_stats)
         if resume_from:
             fresh = self.state.params
+            # The template is already sharded, so restore places arrays
+            # directly onto the mesh.
             self.state = self.ckpt.restore(self.state, path=resume_from)
             if self.run.get("replace_heads", False) == "all":
                 self.state = self.state.replace(params=replace_heads(self.state.params, fresh))
@@ -327,6 +441,9 @@ class EgoNaoTrainer:
             "input_ids": batch["input_ids"],
             "attention_mask": batch["attention_mask"],
         }
+        for extra in ("visual_features", "hand_boxes", "hand_poses", "type_mask"):
+            if extra in batch:
+                model_batch[extra] = batch[extra]
         if with_targets and "targets" in batch:
             t = batch["targets"]
             model_batch["targets"] = {
@@ -359,17 +476,22 @@ class EgoNaoTrainer:
         )
         loader.epoch = epoch
 
-        # lm weight decay per epoch (abc_nao_trainer.py:160-163).
-        loss_w = self.loss_w.copy()
-        if self.lm_decay:
-            loss_w[-1] = loss_w[-1] * (self.lm_decay**epoch)
+        # 6-slot criterion weights with the per-epoch lm / obj_prop decays
+        # (see train/step.criterion_weights).
+        loss_w = criterion_weights(self.criterion, epoch)
 
+        te = self.model_cfg.text_encoder
+        narr_layers = {
+            "gpt2": getattr(self.model_cfg.gpt2, "num_layers", 0),
+            "t5": getattr(self.model_cfg.t5, "num_layers", 0),
+        }.get(te, self.model_cfg.bert.num_layers)
         mult = unfreeze_multipliers(
             self.state.params, epoch, self.config["model"],
             self.run["narration_embeds"]["args"].get("train_ep", -1),
             self.run["narration_embeds"]["args"].get("finetune_layers", 1),
-            self.model_cfg.bert.num_layers,
+            narr_layers,
             self.run.get("freeze_backbone_at_epoch", -1),
+            text_encoder=te,
         )
 
         agg = {}
@@ -385,9 +507,19 @@ class EgoNaoTrainer:
                 n_steps += 1
                 for k, v in metrics.items():
                     agg[k] = agg.get(k, 0.0) + float(v)
+        if agg.get("nonfinite_skipped", 0.0) > 0:
+            log.warning(
+                "epoch %d: %d non-finite steps were skipped (NaN guard)",
+                epoch, int(agg["nonfinite_skipped"]),
+            )
         out = {f"train_{k}": v / max(n_steps, 1) for k, v in agg.items()}
         out["train_steps"] = n_steps
         out["train_time_s"] = round(time.time() - t0, 1)
+        # Input vs step accounting: is the host pipeline the wall?
+        if loader.decode_times:
+            out["train_decode_s_per_batch"] = round(float(np.mean(loader.decode_times)), 4)
+        out["train_s_per_batch"] = round((time.time() - t0) / max(n_steps, 1), 4)
+        loader.close()
         log.info("epoch %d train: %s", epoch, {k: round(v, 4) for k, v in out.items()})
         return out
 
@@ -407,7 +539,9 @@ class EgoNaoTrainer:
         with self.mesh:
             for batch in loader:
                 db = self._device_batch(batch, with_targets=False)
-                dets = jax.device_get(self.eval_step(self.state.params, db, tuple(bucket)))
+                dets = jax.device_get(
+                    self.eval_step(self.state.params, db, tuple(bucket), self.state.batch_stats)
+                )
                 n_real = len(batch["uids"])
                 if first_plot is None and self.plotter is not None:
                     first_plot = (
@@ -419,9 +553,12 @@ class EgoNaoTrainer:
                     v = dets["valid"][i]
                     ry = batch["orig_hw"][i][0] / bucket[0]
                     rx = batch["orig_hw"][i][1] / bucket[1]
+                    # Float boxes end-to-end: the logged metric must score the
+                    # same coordinates the exported JSON carries (export.py
+                    # keeps floats; the official evaluator takes floats too).
                     pred_boxes = dets["boxes"][i][v] * np.array([rx, ry, rx, ry])
                     preds = {
-                        "boxes": pred_boxes.astype(np.int64),
+                        "boxes": pred_boxes,
                         "scores": dets["scores"][i][v],
                         "nouns": dets["nouns"][i][v],
                         "verbs": dets["verbs"][i][v],
@@ -432,7 +569,7 @@ class EgoNaoTrainer:
                     sy = batch["orig_hw"][i][0] / batch["image"].shape[1]
                     sx = batch["orig_hw"][i][1] / batch["image"].shape[2]
                     labels = {
-                        "boxes": (t["boxes"][i][gv] * np.array([sx, sy, sx, sy])).astype(np.int64),
+                        "boxes": t["boxes"][i][gv] * np.array([sx, sy, sx, sy]),
                         "nouns": t["nouns"][i][gv],
                         "verbs": t["verbs"][i][gv],
                         "ttcs": t["ttcs"][i][gv],
@@ -446,6 +583,7 @@ class EgoNaoTrainer:
                     )
                 )
 
+        loader.close()
         values = metric.evaluate()
         metrics = {f"{name}_{source}": v for name, v in zip(metric.get_short_names(), values)}
         log.info("epoch %d %s: %s", epoch, source, {k: round(v, 3) for k, v in metrics.items()})

@@ -30,7 +30,7 @@ def load_gt(annotation_path: str) -> dict[str, dict]:
             verbs.append(obj["verb_category_id"])
             ttcs.append(obj["time_to_contact"])
         gt[annot["uid"]] = {
-            "boxes": np.asarray(boxes, np.float64).astype(np.int64),
+            "boxes": np.asarray(boxes, np.float64),
             "nouns": np.asarray(nouns),
             "verbs": np.asarray(verbs),
             "ttcs": np.asarray(ttcs, np.float64),
@@ -47,7 +47,7 @@ def evaluate_results(results: dict, gt: dict, top_k: int = 5) -> dict[str, float
             missing += 1
             entries = []
         preds = {
-            "boxes": np.asarray([e["box"] for e in entries], np.float64).reshape(-1, 4).astype(np.int64),
+            "boxes": np.asarray([e["box"] for e in entries], np.float64).reshape(-1, 4),
             "scores": np.asarray([e["score"] for e in entries], np.float64),
             "nouns": np.asarray([e["noun_category_id"] for e in entries]),
             "verbs": np.asarray([e["verb_category_id"] for e in entries]),
