@@ -153,11 +153,18 @@ def main_train():
     }
     tx, _ = make_optimizer({"name": "radam", "lr": 1e-4, "weight_decay": 1e-5}, None, 100)
     state = init_state(model, tx, dict(batch, image_hw=(H, W)), jax.random.key(0))
-    loss_cfg = LossConfig(ttc_on=True, rpn_batch_size_per_image=256, last_noun_idx=nn_ - 1)
+    # The v2 flagship criterion: bbox/obj_prop/noun/verb on, ttc/lm off
+    # (ego_nao_res50_ego4dv2.yml:145-154).
+    loss_cfg = LossConfig(rpn_batch_size_per_image=256, last_noun_idx=nn_ - 1)
     step = make_train_step(model, tx, loss_cfg, jnp.ones(nn_), jnp.ones(nv), donate=False)
-    lw = jnp.asarray(criterion_weights({"bbox": 1, "obj_prop": 1, "noun": 1, "verb": 1, "ttc": 1}))
+    lw = jnp.asarray(criterion_weights({"bbox": 1, "obj_prop": 1, "noun": 1, "verb": 1}))
 
-    @jax.jit
+    from functools import partial
+
+    # Donate the state on the OUTER jit (inner donation flags don't survive
+    # nesting): keeping two copies of params+moments (~6 GB) forces XLA into
+    # rematerialization (~24% of the step in the profiled run).
+    @partial(jax.jit, donate_argnums=(0,))
     def train_scalar(state, batch, i):
         b = dict(batch, image=batch["image"] + i * 1e-6)
         new_state, metrics = step(state, b, jax.random.key(0), lw, (H, W))

@@ -210,3 +210,57 @@ def test_train_step_with_lm_tower_from_narration_strings(tower, rng):
     state, metrics = step(state, batch, jax.random.key(1), lw, (64, 64))
     assert np.isfinite(float(metrics["loss"]))
     assert int(state.step) == 1
+
+
+def test_identity_tower_precomputed_language(rng):
+    """Precomputed narration vectors (pooling: sbert / non-learnable
+    text_pooling -> IdentityLayer, narr_pooling_layers.py:23-49): the model
+    consumes batch['language_f'] as a single fully-attended language token."""
+    import numpy as np
+
+    from transfusion_tpu.models.detector import DetectorConfig
+    from transfusion_tpu.models.roi_heads import RoIConfig
+    from transfusion_tpu.models.rpn import RPNConfig
+    from transfusion_tpu.models.transfusion import TransFusion, TransFusionConfig, FusionConfig, build_transfusion_config
+
+    cfg = TransFusionConfig(
+        detector=DetectorConfig(
+            roi=RoIConfig(num_nouns=6, num_verbs=4, representation_size=32,
+                          batch_size_per_image=8, detections_per_img=4),
+            rpn=RPNConfig(pre_nms_top_n_train=64, post_nms_top_n_train=32),
+        ),
+        fusion=FusionConfig(fpn_features=(3,), patch_h=(1,), patch_w=(1,),
+                            num_layers=(1,), token_dim=16, num_heads=2),
+        text_encoder="identity",
+        narr_out_mode="embedding",
+        lm_on=True,
+    )
+    model = TransFusion(cfg)
+    batch = {
+        "image": jnp.asarray(rng.normal(0, 1, (2, 64, 64, 3)).astype(np.float32)),
+        "language_f": jnp.asarray(rng.normal(0, 1, (2, 16)).astype(np.float32)),
+        "image_hw": (64, 64),
+    }
+    params = model.init({"params": jax.random.key(0)}, batch, False)
+    out = model.apply(params, batch, False)
+    assert out["lm"]["noun_logits"].shape == (2, 5)
+    # no narration-encoder params exist
+    flat = ["/".join(str(getattr(k, "key", k)) for k in path)
+            for path, _ in jax.tree_util.tree_flatten_with_path(params)[0]]
+    assert not any("narr_encoder" in j for j in flat)
+
+    # dispatch: pooling sbert -> identity; slowfast text_pooling -> identity
+    base = {
+        "run": {
+            "criterion": {"bbox": 1, "noun": 1, "verb": 1, "ttc": 0, "lm": 0},
+            "narration_embeds": {"use": True, "args": {"model_v": "all-MiniLM-L12-v2",
+                                                       "pooling": "sbert", "out_mlp": 896}},
+            "narr_fusion": {"args": {}, "narr_out_mode": "embedding"},
+        },
+        "model": {"representation_size": 1280, "rcnn_kwargs": {}},
+    }
+    c2 = build_transfusion_config(base, 8, 6)
+    assert c2.text_encoder == "identity" and c2.narr_out_mode == "embedding"
+    base["run"]["narration_embeds"]["args"] = {"model_v": "all-MiniLM-L12-v2",
+                                               "text_pooling": "slowfast"}
+    assert build_transfusion_config(base, 8, 6).text_encoder == "identity"

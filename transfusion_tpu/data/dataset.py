@@ -103,6 +103,12 @@ class EgoNaoDataset:
     # wraps the dataset in HandPosDataset, ego_nao_data.py:48-50): a
     # data.hand_pose.HandPoseLookup supplying per-sample hand box/pose steps.
     hand_pose_lookup: Any = None
+    # Optional precomputed narration embeddings (the Embed/Sbert dataset
+    # variants, narration_embeddings.py / *_embeddings_dsets.py): uid -> [D]
+    # (or [T, D]) vector fed to the model as batch["language_f"] when the
+    # text tower is the identity path; zero-filled when a uid is missing.
+    narration_embedding_lookup: Any = None
+    narration_embedding_dim: int = 384
 
     def __len__(self):
         return len(self.annots)
@@ -161,6 +167,11 @@ class EgoNaoDataset:
             hb, hp = self.hand_pose_lookup.get(video, int(row["Frame_no"]))
             sample["hand_boxes"] = hb
             sample["hand_poses"] = hp
+        if self.narration_embedding_lookup is not None:
+            vec = self.narration_embedding_lookup.get(uid)
+            if vec is None:
+                vec = np.zeros(self.narration_embedding_dim, np.float32)
+            sample["language_f"] = np.asarray(vec, np.float32)
         return sample
 
 
@@ -212,4 +223,6 @@ def collate(samples: list[dict], tokenizer=None, lang_max_length: int = 128) -> 
     if "hand_boxes" in samples[0]:
         batch["hand_boxes"] = np.stack([s["hand_boxes"] for s in samples])
         batch["hand_poses"] = np.stack([s["hand_poses"] for s in samples])
+    if "language_f" in samples[0]:
+        batch["language_f"] = np.stack([s["language_f"] for s in samples])
     return batch

@@ -55,8 +55,14 @@ class TransFusionConfig:
     bert: BertConfig = field(default_factory=BertConfig.minilm_l12)
     # Language tower family (LM_TO_TEXT_POOLING, run_experiment.py:53-61):
     # "sbert" -> BERT/MiniLM; "gpt2" -> distilgpt2 causal encoder;
-    # "t5" -> T5 encoder stack. gpt2/t5 carry their own config when selected.
+    # "t5" -> T5 encoder stack; "identity" -> precomputed language features
+    # from the batch (IdentityLayer / NarrEmbeddingWrapper paths,
+    # narr_pooling_layers.py:23-33,36-49). gpt2/t5 carry their own config.
     text_encoder: str = "sbert"
+    # narr_out_mode (fusion config): "tokens" feeds per-token features to the
+    # fusion; "embedding" uses one pooled sentence vector as a single
+    # language token with no padding mask (cross_f_box_wrapper.py:185-191).
+    narr_out_mode: str = "tokens"
     gpt2: Any = None  # lm_encoders.GPT2Config when text_encoder == "gpt2"
     t5: Any = None    # lm_encoders.T5Config when text_encoder == "t5"
     out_mlp: int | None = 896
@@ -112,14 +118,16 @@ class TransFusion(nn.Module):
         c = self.cfg
         self.rcnn = FasterRCNN(c.detector)
         if c.use_language:
-            if c.text_encoder == "gpt2":
+            if c.text_encoder == "identity":
+                self.narr_encoder = None
+            elif c.text_encoder == "gpt2":
                 from transfusion_tpu.models.lm_encoders import GPT2Encoder, PooledLMEncoder
 
                 # Params land under narr_encoder/encoder/... (attribute
                 # adoption), keeping freeze-path matching uniform.
                 self.narr_encoder = PooledLMEncoder(
                     GPT2Encoder(c.gpt2, dtype=c.dtype),
-                    out_mode="tokens", out_mlp=c.out_mlp, out_tanh=c.out_tanh,
+                    out_mode=c.narr_out_mode, out_mlp=c.out_mlp, out_tanh=c.out_tanh,
                     out_dropout=c.out_dropout, dtype=c.dtype,
                 )
             elif c.text_encoder == "t5":
@@ -127,13 +135,13 @@ class TransFusion(nn.Module):
 
                 self.narr_encoder = PooledLMEncoder(
                     T5Encoder(c.t5, dtype=c.dtype),
-                    out_mode="tokens", out_mlp=c.out_mlp, out_tanh=c.out_tanh,
+                    out_mode=c.narr_out_mode, out_mlp=c.out_mlp, out_tanh=c.out_tanh,
                     out_dropout=c.out_dropout, dtype=c.dtype,
                 )
             else:
                 self.narr_encoder = NarrationEncoder(
                     c.bert,
-                    out_mode="tokens",
+                    out_mode=c.narr_out_mode,
                     out_mlp=c.out_mlp,
                     out_tanh=c.out_tanh,
                     out_dropout=c.out_dropout,
@@ -228,13 +236,29 @@ class TransFusion(nn.Module):
         lang_out = None
         mscale_lang = []
         if c.use_language:
-            narr_kwargs = {}
-            if c.text_encoder not in ("gpt2", "t5") and c.type_embeddings and "type_mask" in batch:
-                narr_kwargs["type_mask"] = batch["type_mask"]
-            lang_tokens, lang_mask = self.narr_encoder(
-                batch["input_ids"], batch["attention_mask"], deterministic=not train,
-                **narr_kwargs,
-            )
+            if c.text_encoder == "identity":
+                # Precomputed language features straight from the batch
+                # (IdentityLayer / NarrEmbeddingWrapper,
+                # narr_pooling_layers.py:23-49).
+                lang_tokens = batch["language_f"].astype(c.dtype)
+                lang_mask = batch.get(
+                    "language_mask",
+                    jnp.ones(lang_tokens.shape[:2] if lang_tokens.ndim == 3
+                             else (lang_tokens.shape[0], 1), jnp.int32),
+                )
+            else:
+                narr_kwargs = {}
+                if c.text_encoder == "sbert" and c.type_embeddings and "type_mask" in batch:
+                    narr_kwargs["type_mask"] = batch["type_mask"]
+                lang_tokens, lang_mask = self.narr_encoder(
+                    batch["input_ids"], batch["attention_mask"], deterministic=not train,
+                    **narr_kwargs,
+                )
+            if lang_tokens.ndim == 2:
+                # embedding mode: one pooled sentence vector becomes a single
+                # fully-attended language token (cross_f_box_wrapper.py:185-191).
+                lang_tokens = lang_tokens[:, None]
+                lang_mask = jnp.ones((lang_tokens.shape[0], 1), jnp.int32)
             language_f = lang_tokens
             for i, lvl in enumerate(c.fusion.fpn_features):
                 key = str(lvl)
@@ -423,7 +447,15 @@ def build_transfusion_config(
     text_encoder = "sbert"
     gpt2_cfg = t5_cfg = None
     bert = BertConfig.minilm_l12()
-    if model_v == "distilgpt2":
+    # Non-learnable text pooling (precomputed sbert vectors / slowfast
+    # pooling / glove-table ids) maps to the IdentityLayer path: language
+    # features arrive precomputed in the batch (narr_pooling_layers.py:23-33).
+    text_pooling = narr_args.get("text_pooling", "sbert_finetune")
+    if narr_args.get("pooling") == "sbert" or text_pooling not in (
+        "sbert_finetune", "gpt2", "t5-wikihow"
+    ):
+        text_encoder = "identity"
+    elif model_v == "distilgpt2":
         from transfusion_tpu.models.lm_encoders import GPT2Config
 
         text_encoder = "gpt2"
@@ -476,6 +508,7 @@ def build_transfusion_config(
         fusion=fus,
         bert=bert,
         text_encoder=text_encoder,
+        narr_out_mode=fusion_cfg.get("narr_out_mode", "tokens"),
         gpt2=gpt2_cfg,
         t5=t5_cfg,
         ttc_hand=ttc_hand_cfg,

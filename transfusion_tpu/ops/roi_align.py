@@ -252,7 +252,12 @@ def multiscale_roi_align(
     that is not the CPU backend.
     """
     if impl is None:
-        impl = "xla" if jax.default_backend() == "cpu" else "pallas"
+        import os
+
+        impl = os.environ.get(
+            "TRANSFUSION_ROIALIGN_IMPL",
+            "xla" if jax.default_backend() == "cpu" else "pallas",
+        )
     packed, shapes, offsets = pack_pyramid(feats)
     params = roi_sample_params(rois, shapes, offsets, image_hw, output_size, sampling_ratio)
     if impl == "pallas":

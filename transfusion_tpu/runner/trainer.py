@@ -296,10 +296,28 @@ class EgoNaoTrainer:
                 log.warning("hand_args.use set but cache %r missing; hand inputs zero-filled", hand_path)
                 hand_lookup = _ZeroHandLookup(hand_args.get("num_steps", 5))
 
+        # Precomputed narration vectors for the identity text tower (the
+        # Embed/Sbert dataset variants); env NARR_EMBED_CACHE is a pickle of
+        # {uid: vector}. Zero vectors keep the path runnable without it.
+        narr_embed_lookup = None
+        tp = narr_args.get("text_pooling", "sbert_finetune")
+        if narr_args.get("pooling") == "sbert" or tp not in ("sbert_finetune", "gpt2", "t5-wikihow"):
+            cache = os.environ.get("NARR_EMBED_CACHE", "")
+            if cache and os.path.isfile(cache):
+                import pickle
+
+                with open(cache, "rb") as fp:
+                    narr_embed_lookup = pickle.load(fp)
+            else:
+                log.warning("identity text tower without NARR_EMBED_CACHE; zero language_f")
+                narr_embed_lookup = {}
+
         mk = lambda df: EgoNaoDataset(
             annots=df, frames_dir=frames_dir, noun_mapping=self.noun_mapping,
             verb_mapping=self.verb_mapping, aug=self.aug, narration_lookup=lookup,
             uid_col=uid_col, verb_bg=verb_bg, hand_pose_lookup=hand_lookup,
+            narration_embedding_lookup=narr_embed_lookup,
+            narration_embedding_dim=narr_args.get("size", 384),
         )
         self.train_ds, self.val_ds, self.test_ds = mk(train_df), mk(val_df), mk(test_df)
         self.num_nouns = self.train_ds.num_nouns
@@ -374,8 +392,11 @@ class EgoNaoTrainer:
         self.criterion = criterion
 
     def _build_steps(self):
+        # Donate the incoming state: the returned state replaces it, and the
+        # freed params+moments buffers (~3x param bytes) are what lets XLA
+        # avoid rematerializing the backward at flagship batch sizes.
         self.train_step = make_train_step(
-            self.model, self.tx, self.loss_cfg, self.noun_w, self.verb_w, donate=False
+            self.model, self.tx, self.loss_cfg, self.noun_w, self.verb_w, donate=True
         )
         self.eval_step = make_eval_step(
             self.model, self.model_cfg.detector, noun_verb_frequencies=self.noun_verb_freqs
@@ -441,7 +462,7 @@ class EgoNaoTrainer:
             "input_ids": batch["input_ids"],
             "attention_mask": batch["attention_mask"],
         }
-        for extra in ("visual_features", "hand_boxes", "hand_poses", "type_mask"):
+        for extra in ("visual_features", "hand_boxes", "hand_poses", "type_mask", "language_f"):
             if extra in batch:
                 model_batch[extra] = batch[extra]
         if with_targets and "targets" in batch:
