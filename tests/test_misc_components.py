@@ -167,3 +167,18 @@ def test_misc_layers_upsample_and_condition(rng):
     assert isinstance(se, SqueezeHeatmapCondition)
     p = se.init(jax.random.key(0), feats, hmap)
     assert se.apply(p, feats, hmap).shape == feats.shape
+
+
+def test_hmap_plotter(tmp_path, rng):
+    """Legacy heatmap plot grids (HmapPlotterCallback equivalent)."""
+    pytest.importorskip("matplotlib")
+    from transfusion_tpu.runner.callbacks import HmapPlotter
+
+    imgs = rng.normal(0, 1, (2, 32, 40, 3)).astype(np.float32)
+    gt = rng.uniform(0, 1, (2, 32, 40)).astype(np.float32)
+    pred = rng.uniform(0, 1, (2, 32, 40)).astype(np.float32)
+    p = HmapPlotter(str(tmp_path))
+    out = p("val", 3, imgs, gt, pred, titles=["a", "b"])
+    import os
+
+    assert os.path.isfile(out) and os.path.getsize(out) > 0

@@ -123,3 +123,65 @@ class BboxPlotter:
             images, gt_boxes, pred_boxes, pred_labels, gt_labels, out,
             normalization=self.normalization, channel_order=self.channel_order,
         )
+
+
+def plot_heatmap_grid(
+    images: np.ndarray,
+    gt_heatmaps: np.ndarray,
+    pred_heatmaps: np.ndarray,
+    titles: list[str] | None = None,
+    out_path: str | None = None,
+    normalization: str = "ego4d_baseline",
+    channel_order: str = "BGR",
+):
+    """Legacy snao heatmap grids (HmapPlotterCallback,
+    runner/utils/callbacks.py:76-234): per sample a row of
+    [frame | GT heatmap overlay | predicted heatmap overlay]."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    n = len(images)
+    fig, axes = plt.subplots(n, 3, figsize=(12, 3 * n), squeeze=False)
+    for i in range(n):
+        img = denormalize_image(images[i], normalization)
+        if channel_order == "BGR":
+            img = img[..., ::-1]
+        for j, (ax, hmap, label) in enumerate(zip(
+            axes[i], (None, gt_heatmaps[i], pred_heatmaps[i]), ("frame", "gt", "pred")
+        )):
+            ax.axis("off")
+            ax.imshow(img)
+            if hmap is not None:
+                h = np.asarray(hmap, np.float32)
+                h = h / max(float(h.max()), 1e-6)
+                ax.imshow(h, alpha=0.55, cmap="jet",
+                          extent=(0, img.shape[1], img.shape[0], 0))
+            t = label if titles is None or j != 0 else f"{titles[i]}"
+            ax.set_title(t, fontsize=8)
+    fig.tight_layout()
+    if out_path:
+        os.makedirs(os.path.dirname(out_path), exist_ok=True)
+        fig.savefig(out_path, dpi=80)
+    plt.close(fig)
+    return out_path
+
+
+class HmapPlotter:
+    """HmapPlotterCallback equivalent for the legacy heatmap family."""
+
+    def __init__(self, run_dir: str, normalization: str = "ego4d_baseline",
+                 channel_order: str = "BGR"):
+        self.plot_dir = os.path.join(run_dir, "plots")
+        self.normalization = normalization
+        self.channel_order = channel_order
+
+    def __call__(self, split: str, epoch: int, images, gt_heatmaps, pred_heatmaps,
+                 titles=None) -> str:
+        out = os.path.join(self.plot_dir, split, f"hmap_epoch_{epoch}.jpg")
+        return plot_heatmap_grid(
+            np.asarray(images), np.asarray(gt_heatmaps), np.asarray(pred_heatmaps),
+            titles=titles, out_path=out, normalization=self.normalization,
+            channel_order=self.channel_order,
+        )
