@@ -29,9 +29,11 @@ import json
 import sys
 import time
 
+import os
+
 REFERENCE_FPS_ESTIMATE = 50.0
 REFERENCE_TRAIN_FPS_ESTIMATE = 18.0  # ~0.4 TFLOP fwd * 3 for bwd on A100 TF32
-BATCH = 8
+BATCH = int(os.environ.get("TRANSFUSION_BENCH_BATCH", "8"))
 H, W = 768, 1024
 LANG_LEN = 64
 K = 8  # model iterations inside the on-device loop

@@ -191,3 +191,28 @@ def test_detector_with_mobilenet_backbone(rng):
     params = model.init({"params": jax.random.key(0)}, img, (64, 64), None, False)
     out = model.apply(params, img, (64, 64), None, False)
     assert "roi_outputs" in out and out["roi_outputs"]["class_logits"].shape[-1] == 6
+
+
+def test_s2d_stem_exact_equivalence(rng):
+    """The space-to-depth stem with folded weights reproduces the standard
+    7x7/s2 stem bit-for-bit (MLPerf-ResNet trick; fold_stem_to_s2d)."""
+    from transfusion_tpu.models.resnet import fold_stem_to_s2d
+
+    std = ResNet(stage_sizes=(1, 1, 1, 1))
+    s2d = ResNet(stage_sizes=(1, 1, 1, 1), s2d_stem=True)
+    x = jnp.asarray(rng.normal(0, 1, (1, 64, 96, 3)).astype(np.float32))
+    p_std = std.init(jax.random.key(0), x)["params"]
+    p_s2d = s2d.init(jax.random.key(1), x)["params"]
+
+    # copy everything but the stem, then fold the stem weights
+    for k in p_std:
+        if k not in ("stem",):
+            p_s2d[k] = p_std[k]
+    p_s2d["stem_s2d"]["kernel"] = jnp.asarray(fold_stem_to_s2d(p_std["stem"]["conv"]["kernel"]))
+    p_s2d["stem_bn"] = p_std["stem"]["bn"]
+
+    out_std = std.apply({"params": p_std}, x)
+    out_s2d = s2d.apply({"params": p_s2d}, x)
+    for lvl in out_std:
+        np.testing.assert_allclose(np.asarray(out_std[lvl]), np.asarray(out_s2d[lvl]),
+                                   rtol=1e-5, atol=1e-5)

@@ -165,3 +165,34 @@ def test_translate_full_reference_checkpoint_coverage():
     np.testing.assert_allclose(
         np.asarray(got), sd["backbone.body.conv1.weight"].numpy().transpose(2, 3, 1, 0), rtol=1e-6
     )
+
+
+def test_translate_into_s2d_stem_target(rng):
+    """Translating a standard checkpoint into an s2d_stem model folds the 7x7
+    stem into the space-to-depth layout exactly (resnet.fold_stem_to_s2d)."""
+    import torch
+
+    from transfusion_tpu.models.resnet import ResNet, fold_stem_to_s2d
+
+    std = ResNet(stage_sizes=(1,))
+    s2d = ResNet(stage_sizes=(1,), s2d_stem=True)
+    x = jnp.zeros((1, 32, 32, 3))
+    p_std = std.init(jax.random.key(0), x)["params"]
+    p_s2d = s2d.init(jax.random.key(1), x)["params"]
+
+    w = rng.normal(0, 0.05, (64, 3, 7, 7)).astype(np.float32)
+    sd = {
+        "backbone.body.conv1.weight": torch.from_numpy(w),
+        "backbone.body.bn1.weight": torch.from_numpy(np.ones(64, np.float32) * 1.5),
+        "backbone.body.bn1.running_mean": torch.from_numpy(np.full(64, 0.1, np.float32)),
+    }
+    tree, report = translate_reference_checkpoint(sd, {"rcnn": {"backbone": p_s2d}})
+    bb = tree["rcnn"]["backbone"]
+    assert "stem" not in bb and "stem_s2d" in bb
+    np.testing.assert_allclose(
+        bb["stem_s2d"]["kernel"],
+        fold_stem_to_s2d(w.transpose(2, 3, 1, 0)),
+        rtol=1e-6,
+    )
+    np.testing.assert_allclose(bb["stem_bn"]["scale"], 1.5)
+    np.testing.assert_allclose(bb["stem_bn"]["mean"], 0.1)

@@ -54,6 +54,8 @@ class DetectorConfig:
     # model.batch_norm (replace_frozen_bn, obj_detection/utils.py:3-57).
     trainable_bn: bool = False
     bn_momentum: float = 0.1
+    # Additive TPU knob: exact space-to-depth stem (see resnet.ResNet).
+    s2d_stem: bool = False
     dtype: Any = jnp.float32
 
 
@@ -72,6 +74,7 @@ class FasterRCNN(nn.Module):
                 dtype=self.cfg.dtype,
                 trainable_bn=self.cfg.trainable_bn,
                 bn_momentum=self.cfg.bn_momentum,
+                s2d_stem=self.cfg.s2d_stem,
             )
         self.fpn = FPN(out_channels=self.cfg.fpn_out_channels, dtype=self.cfg.dtype)
         self.rpn_head = RPNHead(num_anchors=len(self.cfg.rpn.aspect_ratios), dtype=self.cfg.dtype)

@@ -117,12 +117,32 @@ class ResNet(nn.Module):
     dtype: Any = jnp.float32
     trainable_bn: bool = False
     bn_momentum: float = 0.1
+    # Space-to-depth stem (the MLPerf-ResNet TPU trick): the 7x7/s2 stem conv
+    # is mathematically identical to a 4x4/s1 conv on the 2x2 space-to-depth
+    # input with regrouped (zero-padded) weights — same FLOPs but a layout
+    # the MXU tiles far better than a 3-channel 7x7. fold_stem_to_s2d
+    # converts standard stem weights exactly.
+    s2d_stem: bool = False
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        h = ConvNorm(64, 7, 2, self.dtype, self.trainable_bn, self.bn_momentum, name="stem")(
-            x, train
-        )
+        if self.s2d_stem:
+            b, hh, ww, c = x.shape
+            x = x.reshape(b, hh // 2, 2, ww // 2, 2, c)
+            x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, hh // 2, ww // 2, 4 * c)
+            h = nn.Conv(
+                64, (4, 4), strides=(1, 1), padding=((2, 1), (2, 1)),
+                use_bias=False, dtype=self.dtype, name="stem_s2d",
+            )(x)
+            h = FrozenBatchNorm(64, dtype=self.dtype, name="stem_bn")(h) \
+                if not self.trainable_bn else nn.BatchNorm(
+                    use_running_average=not train, momentum=1.0 - self.bn_momentum,
+                    epsilon=1e-5, dtype=self.dtype, name="stem_bn",
+                )(h)
+        else:
+            h = ConvNorm(64, 7, 2, self.dtype, self.trainable_bn, self.bn_momentum, name="stem")(
+                x, train
+            )
         h = nn.relu(h)
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -149,3 +169,29 @@ class ResNet(nn.Module):
 
 
 RESNET50_CHANNELS = {"0": 256, "1": 512, "2": 1024, "3": 2048}
+
+
+def fold_stem_to_s2d(w):
+    """Exactly regroup standard stem weights [7, 7, C, 64] into the
+    space-to-depth stem's [4, 4, 4*C, 64]: output pixel i of the 7x7/s2 conv
+    reads input u = 2i - 3 + dy; writing u = 2(a + i - 2) + p maps kernel tap
+    dy = 2*alpha + p - 1 (alpha = a - i + 2 in [0, 4)), taps outside [0, 7)
+    are zero. Same along x. s2d channel layout is (p, q, c) flattened."""
+    import numpy as np
+
+    kh, kw, c, o = w.shape
+    assert (kh, kw) == (7, 7)
+    out = np.zeros((4, 4, 4 * c, o), np.asarray(w).dtype)
+    for alpha in range(4):
+        for p in range(2):
+            dy = 2 * alpha + p - 1
+            if not 0 <= dy < 7:
+                continue
+            for beta in range(4):
+                for q in range(2):
+                    dx = 2 * beta + q - 1
+                    if not 0 <= dx < 7:
+                        continue
+                    s = (p * 2 + q) * c
+                    out[alpha, beta, s : s + c] = np.asarray(w)[dy, dx]
+    return out

@@ -433,6 +433,9 @@ def build_transfusion_config(
         backbone=model.get("type", "res50"),
         trainable_bn=bool((model.get("batch_norm") or {}).get("use", False)),
         bn_momentum=(model.get("batch_norm") or {}).get("momentum", 0.1),
+        # Additive knob (not in the reference schema): exact space-to-depth
+        # stem; checkpoints fold via resnet.fold_stem_to_s2d.
+        s2d_stem=bool(model.get("s2d_stem", False)),
         stride_in_1x1=model.get("adapt_to_detectron", False),
         # Additive knob (not in the reference schema): shrink the backbone
         # for smoke tests; defaults to ResNet-50.

@@ -367,7 +367,9 @@ def fused_roi_align(packed, params, output_size: int = 7):
     )
     h_tot, w_tot = packed_p.shape[1:3]
 
-    blk = min(8, r)
+    import os
+
+    blk = min(int(os.environ.get("TRANSFUSION_ROIALIGN_BLK", "8")), r)
     r_pad = _round_up(r, blk)
 
     hl_i = params["hl"].astype(jnp.int32)

@@ -334,6 +334,14 @@ def translate_reference_checkpoint(state_dict: dict, params: Any, fpn_features=(
               "shape_mismatch": [], "skipped": []}
 
     rcnn = tree.get("rcnn", tree)
+    # Space-to-depth stem target (DetectorConfig.s2d_stem): stage a standard
+    # stem for the key translation, fold it afterwards.
+    s2d_target = "stem_s2d" in rcnn.get("backbone", {})
+    if s2d_target:
+        rcnn["backbone"]["stem"] = {
+            "conv": {"kernel": np.zeros((7, 7, 3, 64), np.float32)},
+            "bn": {k: np.zeros(64, np.float32) for k in ("scale", "bias", "mean", "var")},
+        }
     for key, value in state_dict.items():
         if "num_batches_tracked" in key or key.endswith("position_ids"):
             report["skipped"].append(key)
@@ -343,6 +351,14 @@ def translate_reference_checkpoint(state_dict: dict, params: Any, fpn_features=(
         if translate_fusion_keys(key, value, tree, report, fpn_features, patch_hw):
             continue
         report["unmatched_source"].append(key)
+
+    if s2d_target:
+        from transfusion_tpu.models.resnet import fold_stem_to_s2d
+
+        backbone = rcnn["backbone"]
+        backbone["stem_s2d"]["kernel"] = fold_stem_to_s2d(backbone["stem"]["conv"]["kernel"])
+        backbone["stem_bn"] = dict(backbone["stem"]["bn"])
+        del backbone["stem"]
     return tree, report
 
 
