@@ -186,3 +186,30 @@ def test_loader_and_train_step(annots, ego_fixture):
                            donate=False)
     state, metrics = step(state, mb, jax.random.key(1), jnp.asarray([1.0, 1, 1, 1, 1, 0]), (64, 64))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_pooled_video_narration_lookup():
+    """strategy 'all': one pooled embedding per video, shared by its uids
+    (all_embeddings_dsets.py:9-33)."""
+    import pandas as pd
+
+    from transfusion_tpu.data.dataset import pooled_video_narration_lookup
+
+    annots = pd.DataFrame(
+        {
+            "video_uid": ["v1", "v1", "v2"],
+            "narration": ["wash pan", "cut onion", "open drawer"],
+        },
+        index=["u1", "u2", "u3"],
+    )
+    embeds = {
+        "wash pan": np.array([1.0, 0.0]),
+        "cut onion": np.array([0.0, 1.0]),
+        # "open drawer" missing -> v2 zero-fills
+    }
+    lk = pooled_video_narration_lookup(annots, embeds, pooling="mean")
+    np.testing.assert_allclose(lk["u1"], [0.5, 0.5])
+    np.testing.assert_allclose(lk["u2"], lk["u1"])
+    np.testing.assert_allclose(lk["u3"], [0.0, 0.0])
+    lk_max = pooled_video_narration_lookup(annots, embeds, pooling="max")
+    np.testing.assert_allclose(lk_max["u1"], [1.0, 1.0])

@@ -83,6 +83,30 @@ def build_narration_lookup(
     raise ValueError(f"unknown narration strategy {strategy}")
 
 
+def pooled_video_narration_lookup(
+    annots: pd.DataFrame,
+    narration_embeds: dict,
+    pooling: str = "mean",
+    uid_col: str = "video_uid",
+) -> dict:
+    """The ``strategy: all`` narration family (AllNarr[Sbert|Embed]Wrapper,
+    all_embeddings_dsets.py:9-62): every sample of a video shares one pooled
+    embedding over ALL of that video's narrations. ``narration_embeds`` maps
+    narration string -> vector (precomputed offline); unknown narrations are
+    skipped; videos with none fall back to zeros. Returns uid -> vector for
+    EgoNaoDataset.narration_embedding_lookup."""
+    pool = np.max if pooling == "max" else np.mean
+    col = uid_col if uid_col in annots.columns else "video_id"
+    by_video: dict = {}
+    dim = len(next(iter(narration_embeds.values()))) if narration_embeds else 1
+    for video_id, group in annots.groupby(col):
+        vecs = [narration_embeds[n] for n in group["narration"] if n in narration_embeds]
+        by_video[video_id] = (
+            pool(np.asarray(vecs, np.float32), axis=0) if vecs else np.zeros(dim, np.float32)
+        )
+    return {uid: by_video[row[col]] for uid, row in annots.iterrows()}
+
+
 @dataclass
 class EgoNaoDataset:
     """One split's samples: annotations + frame files + label mappings."""
