@@ -130,15 +130,23 @@ class EncoderLayer(nn.Module):
             return nn.Dense(self.dim, dtype=self.dtype, name=name)(inp).reshape(b, l, self.num_heads, head_dim)
 
         q, k, v = proj("q_proj", x), proj("k_proj", x), proj("v_proj", x)
-        if deterministic and attn_mask is None and self.use_flash:
-            from transfusion_tpu.ops.attention import flash_self_attention
+        if attn_mask is None and self.use_flash:
+            from transfusion_tpu.ops.attention import flash_attention_train
 
-            ctx = flash_self_attention(
-                q.transpose(0, 2, 1, 3),
-                k.transpose(0, 2, 1, 3),
-                v.transpose(0, 2, 1, 3),
-                key_padding_mask,
-            ).transpose(0, 2, 1, 3).reshape(b, l, d)
+            # Layout-native fused attention: consumes the projections'
+            # [B, L, H, D] directly (no HBM transpose, no [B,H,L,L]
+            # probability tensor — the two walls in the train-step profile),
+            # with in-kernel probability dropout on the training path
+            # (torch MultiheadAttention semantics).
+            rate = 0.0 if deterministic else self.dropout
+            seed = None
+            if rate > 0.0:
+                import jax
+
+                seed = jax.random.bits(self.make_rng("dropout"), dtype=jnp.uint32).astype(jnp.int32)
+            ctx = flash_attention_train(
+                q, k, v, key_padding_mask, dropout_rate=rate, seed=seed
+            ).reshape(b, l, d)
         else:
             scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(head_dim).astype(self.dtype)
             if key_padding_mask is not None:
