@@ -196,3 +196,131 @@ def test_translate_into_s2d_stem_target(rng):
     )
     np.testing.assert_allclose(bb["stem_bn"]["scale"], 1.5)
     np.testing.assert_allclose(bb["stem_bn"]["mean"], 0.1)
+
+
+def test_translate_gpt2_tower_via_hf(rng):
+    """HF GPT2Model -> translate_lm_tower -> hidden-state parity (the
+    reference's distilgpt2 tower loads from_pretrained,
+    narr_pooling_layers.py:270-276)."""
+    import transformers
+
+    from transfusion_tpu.models.lm_encoders import GPT2Config, GPT2Encoder
+    from transfusion_tpu.tools.translate_checkpoint import translate_lm_tower
+
+    hf = transformers.GPT2Model(
+        transformers.GPT2Config(
+            vocab_size=130, n_positions=24, n_embd=32, n_layer=2, n_head=4,
+            resid_pdrop=0.0, embd_pdrop=0.0, attn_pdrop=0.0,
+        )
+    ).eval()
+    cfg = GPT2Config(vocab_size=130, hidden_size=32, num_layers=2, num_heads=4,
+                     max_positions=24, dropout=0.0)
+    enc = GPT2Encoder(cfg)
+    ids = rng.integers(0, 130, (2, 11)).astype(np.int32)
+    mask = np.ones((2, 11), np.int32)
+    mask[1, 8:] = 0
+    params = enc.init(jax.random.key(0), jnp.asarray(ids), jnp.asarray(mask))["params"]
+
+    new_params, report = translate_lm_tower(hf.state_dict(), params, "gpt2")
+    assert not report["unmatched_source"], report["unmatched_source"][:5]
+    assert not report["missing_target"] and not report["shape_mismatch"]
+
+    with torch.no_grad():
+        ref = hf(
+            input_ids=torch.from_numpy(ids.astype(np.int64)),
+            attention_mask=torch.from_numpy(mask.astype(np.int64)),
+        ).last_hidden_state.numpy()
+    got = np.asarray(enc.apply({"params": jax.tree.map(jnp.asarray, new_params)},
+                               jnp.asarray(ids), jnp.asarray(mask)))
+    for b in range(2):
+        n = mask[b].sum()
+        np.testing.assert_allclose(got[b, :n], ref[b, :n], rtol=1e-4, atol=1e-4)
+
+
+def test_translate_t5_tower_via_hf(rng):
+    """HF T5EncoderModel (plain relu, the t5-wikihow geometry) and the gated
+    flan variant both translate with full coverage and hidden-state parity."""
+    import transformers
+
+    from transfusion_tpu.models.lm_encoders import T5Config, T5Encoder
+    from transfusion_tpu.tools.translate_checkpoint import translate_lm_tower
+
+    for proj, gated in (("relu", False), ("gated-gelu", True)):
+        hf = transformers.T5EncoderModel(
+            transformers.T5Config(
+                vocab_size=110, d_model=24, d_kv=6, d_ff=40, num_layers=2,
+                num_heads=4, dropout_rate=0.0, feed_forward_proj=proj,
+            )
+        ).eval()
+        cfg = T5Config(vocab_size=110, hidden_size=24, num_layers=2, num_heads=4,
+                       head_dim=6, ff_dim=40, gated_ff=gated, dropout=0.0)
+        enc = T5Encoder(cfg)
+        ids = rng.integers(0, 110, (2, 9)).astype(np.int32)
+        mask = np.ones((2, 9), np.int32)
+        mask[0, 5:] = 0
+        params = enc.init(jax.random.key(0), jnp.asarray(ids), jnp.asarray(mask))["params"]
+
+        new_params, report = translate_lm_tower(hf.state_dict(), params, "t5")
+        assert not report["unmatched_source"], report["unmatched_source"][:5]
+        assert not report["missing_target"] and not report["shape_mismatch"]
+
+        with torch.no_grad():
+            ref = hf(
+                input_ids=torch.from_numpy(ids.astype(np.int64)),
+                attention_mask=torch.from_numpy(mask.astype(np.int64)),
+            ).last_hidden_state.numpy()
+        got = np.asarray(enc.apply({"params": jax.tree.map(jnp.asarray, new_params)},
+                                   jnp.asarray(ids), jnp.asarray(mask)))
+        for b in range(2):
+            n = mask[b].sum()
+            np.testing.assert_allclose(got[b, :n], ref[b, :n], rtol=1e-3, atol=1e-4)
+
+
+def test_full_checkpoint_routes_gpt2_tower_keys():
+    """A lightning checkpoint carrying the GPT-2 tower at
+    narr_pooling_layer.encoder.transformer.* lands in narr_encoder/encoder."""
+    from transfusion_tpu.models.detector import DetectorConfig
+    from transfusion_tpu.models.lm_encoders import GPT2Config
+    from transfusion_tpu.models.roi_heads import RoIConfig
+    from transfusion_tpu.models.rpn import RPNConfig
+    from transfusion_tpu.models.transfusion import FusionConfig, TransFusion, TransFusionConfig
+
+    cfg = TransFusionConfig(
+        detector=DetectorConfig(
+            roi=RoIConfig(num_nouns=7, num_verbs=5, representation_size=32,
+                          batch_size_per_image=8, detections_per_img=4),
+            rpn=RPNConfig(pre_nms_top_n_test=32, post_nms_top_n_test=16),
+        ),
+        fusion=FusionConfig(fpn_features=(3,), patch_h=(1,), patch_w=(1,),
+                            num_layers=(1,), token_dim=24, num_heads=2),
+        text_encoder="gpt2",
+        gpt2=GPT2Config(vocab_size=90, hidden_size=16, num_layers=1, num_heads=2,
+                        max_positions=16),
+        out_mlp=24,
+    )
+    model = TransFusion(cfg)
+    batch = {
+        "image": jnp.zeros((1, 64, 64, 3)),
+        "image_hw": (64, 64),
+        "input_ids": jnp.ones((1, 8), jnp.int32),
+        "attention_mask": jnp.ones((1, 8), jnp.int32),
+    }
+    params = model.init({"params": jax.random.key(0)}, batch, False)["params"]
+
+    rng = np.random.default_rng(0)
+    t = lambda *s: torch.from_numpy(rng.normal(0, 0.02, s).astype(np.float32))
+    emb = t(90, 16)
+    sd = {
+        "model.narr_pooling_layer.encoder.transformer.wte.weight": emb,
+        "model.narr_pooling_layer.encoder.transformer.h.0.attn.c_attn.weight": t(16, 48),
+        "model.narr_pooling_layer.encoder.transformer.h.0.ln_1.weight": t(16),
+        "model.narr_pooling_layer.encoder.transformer.h.0.attn.bias": t(1, 1, 16, 16),
+        "model.narr_pooling_layer.out_mlp.weight": t(24, 16),
+    }
+    new_params, report = translate_reference_checkpoint(sd, params, fpn_features=(3,),
+                                                        patch_hw=((1, 1),))
+    assert not report["unmatched_source"], report["unmatched_source"]
+    assert not report["missing_target"] and not report["shape_mismatch"]
+    np.testing.assert_allclose(
+        np.asarray(new_params["narr_encoder"]["encoder"]["wte"]["embedding"]), emb.numpy()
+    )

@@ -192,7 +192,9 @@ def hash_vocab_tokenizer(vocab_size: int = 30522, max_length: int = 128) -> Word
                 raise KeyError(key)
             return v
 
-    return WordPieceTokenizer(_HashVocab(), max_length=max_length)
+    tok = WordPieceTokenizer(_HashVocab(), max_length=max_length)
+    tok.is_hash_fallback = True
+    return tok
 
 
 # ------------------------------------------------------------- GPT-2 byte BPE
@@ -518,7 +520,9 @@ def hash_gpt2_tokenizer(vocab_size: int = 50257, max_length: int = 128) -> GPT2B
 
     vocab = _HashVocab()
     vocab["<|endoftext|>"] = vocab_size - 1
-    return GPT2BPETokenizer(vocab, [], max_length=max_length)
+    tok = GPT2BPETokenizer(vocab, [], max_length=max_length)
+    tok.is_hash_fallback = True
+    return tok
 
 
 def hash_t5_tokenizer(vocab_size: int = 32128, max_length: int = 128) -> SentencePieceTokenizer:
@@ -530,4 +534,5 @@ def hash_t5_tokenizer(vocab_size: int = 32128, max_length: int = 128) -> Sentenc
     for ch in "▁" + string.ascii_lowercase + string.ascii_uppercase + string.digits + string.punctuation:
         pieces.append((ch, -5.0, 1))
     tok = SentencePieceTokenizer(pieces, max_length=max_length)
+    tok.is_hash_fallback = True
     return tok

@@ -209,6 +209,109 @@ def translate_bert_keys(key: str, value, bert: dict, report: dict, prefix: str =
     return False
 
 
+def translate_gpt2_keys(key: str, value, gpt2: dict, report: dict) -> bool:
+    """Translate huggingface GPT2Model keys into the GPT2Encoder subtree.
+
+    The reference loads ``GPT2LMHeadModel.from_pretrained("distilgpt2")`` and
+    drops the LM head (``narr_pooling_layers.py:270-276`` lm_head -> Identity),
+    so both bare GPT2Model keys and ``transformer.``-prefixed LM-head keys are
+    accepted. HF GPT-2 uses Conv1D layers whose weight is [in, out] — the flax
+    Dense kernel layout — so attention/MLP weights copy WITHOUT transposition
+    (unlike nn.Linear)."""
+    key = key.removeprefix("transformer.")
+    if key.startswith("lm_head.") or key.endswith((".attn.bias", ".attn.masked_bias")):
+        report["skipped"].append(key)
+        return True
+    if key == "wte.weight":
+        _set(gpt2, ["wte", "embedding"], _np(value), report)
+        return True
+    if key == "wpe.weight":
+        _set(gpt2, ["wpe"], _np(value), report)
+        return True
+    m = re.fullmatch(r"ln_f\.(weight|bias)", key)
+    if m:
+        _set(gpt2, ["ln_f", "scale" if m.group(1) == "weight" else "bias"], _np(value), report)
+        return True
+    m = re.fullmatch(r"h\.(\d+)\.(ln_1|ln_2)\.(weight|bias)", key)
+    if m:
+        i, ln, f = m.groups()
+        _set(gpt2, [f"h_{i}", ln, "scale" if f == "weight" else "bias"], _np(value), report)
+        return True
+    m = re.fullmatch(r"h\.(\d+)\.(attn\.c_attn|attn\.c_proj|mlp\.c_fc|mlp\.c_proj)\.(weight|bias)", key)
+    if m:
+        i, part, f = m.groups()
+        name = {"attn.c_attn": "c_attn", "attn.c_proj": "c_proj",
+                "mlp.c_fc": "mlp_fc", "mlp.c_proj": "mlp_proj"}[part]
+        # Conv1D weight is already [in, out]; bias is [out].
+        _set(gpt2, [f"h_{i}", name, "kernel" if f == "weight" else "bias"], _np(value), report)
+        return True
+    return False
+
+
+def translate_t5_keys(key: str, value, t5: dict, report: dict) -> bool:
+    """Translate huggingface T5EncoderModel (or the encoder half of
+    T5ForConditionalGeneration — the reference's t5-wikihow finetune checkpoint
+    shape, ``t5_adapter_no_loss.py``) keys into the T5Encoder subtree. All T5
+    projections are bias-free nn.Linear ([out, in] -> transpose); the relative
+    position bias table lives only in block 0."""
+    if key.startswith(("decoder.", "lm_head.")):
+        report["skipped"].append(key)
+        return True
+    if key in ("shared.weight", "encoder.embed_tokens.weight"):
+        # shared.weight and the encoder's embed_tokens alias the same tensor;
+        # translate the first seen, skip duplicates.
+        if "_embed_done" in report:
+            report["skipped"].append(key)
+            return True
+        report["_embed_done"] = True
+        _set(t5, ["shared", "embedding"], _np(value), report)
+        return True
+    if key == "encoder.final_layer_norm.weight":
+        _set(t5, ["final_norm", "scale"], _np(value), report)
+        return True
+    m = re.fullmatch(r"encoder\.block\.(\d+)\.layer\.0\.SelfAttention\.([qkvo])\.weight", key)
+    if m:
+        i, p = m.groups()
+        _set(t5, [f"block_{i}", p, "kernel"], linear_kernel(value), report)
+        return True
+    m = re.fullmatch(
+        r"encoder\.block\.(\d+)\.layer\.0\.SelfAttention\.relative_attention_bias\.weight", key
+    )
+    if m:
+        _set(t5, [f"block_{m.group(1)}", "relative_attention_bias"], _np(value), report)
+        return True
+    m = re.fullmatch(r"encoder\.block\.(\d+)\.layer\.(0|1)\.layer_norm\.weight", key)
+    if m:
+        i, which = m.groups()
+        _set(t5, [f"block_{i}", "ln_attn" if which == "0" else "ln_ff", "scale"], _np(value), report)
+        return True
+    m = re.fullmatch(r"encoder\.block\.(\d+)\.layer\.1\.DenseReluDense\.(wi|wi_0|wi_1|wo)\.weight", key)
+    if m:
+        i, p = m.groups()
+        _set(t5, [f"block_{i}", p, "kernel"], linear_kernel(value), report)
+        return True
+    return False
+
+
+def translate_lm_tower(state_dict: dict, encoder_params: Any, kind: str) -> tuple[Any, dict]:
+    """Fill a GPT2Encoder / T5Encoder param tree from an HF state dict.
+
+    ``kind``: "gpt2" or "t5". Accepts GPT2Model / GPT2LMHeadModel /
+    T5EncoderModel / T5ForConditionalGeneration state dicts (the decoder and
+    LM-head keys are skipped). Returns (new_params, report)."""
+    import jax
+
+    tree = jax.tree.map(np.asarray, encoder_params)
+    report = {"translated": 0, "unmatched_source": [], "missing_target": [],
+              "shape_mismatch": [], "skipped": []}
+    fn = {"gpt2": translate_gpt2_keys, "t5": translate_t5_keys}[kind]
+    for key, value in state_dict.items():
+        if not fn(key, value, tree, report):
+            report["unmatched_source"].append(key)
+    report.pop("_embed_done", None)
+    return tree, report
+
+
 def translate_fusion_keys(key: str, value, params: dict, report: dict, fpn_features=(0, 1, 2, 3),
                           patch_hw=((4, 4), (4, 4), (2, 2), (1, 1)), channels=None) -> bool:
     """Translate reference CrossFusionBoxWrapper keys (cross_f_box_wrapper.py)."""
@@ -298,6 +401,20 @@ def translate_fusion_keys(key: str, value, params: dict, report: dict, fpn_featu
             report["missing_target"].append(key)
             return True
         return translate_bert_keys(sub, value, bert, report)
+    # GPT-2 / T5 towers: GPT2Layer holds a GPT2LMHeadModel at .encoder
+    # (narr_pooling_layers.py:273 -> keys narr_pooling_layer.encoder.
+    # transformer.*), T5WikiLayer a Seq2Seq model at .encoder (keys
+    # narr_pooling_layer.encoder.{shared,encoder.block...}, :353-355).
+    # Our PooledLMEncoder adopts its tower under narr_encoder/encoder.
+    if key.startswith("narr_pooling_layer.encoder."):
+        sub = key.removeprefix("narr_pooling_layer.encoder.")
+        tower = params.get("narr_encoder", {}).get("encoder")
+        if tower is None:
+            report["missing_target"].append(key)
+            return True
+        if sub.startswith("transformer.") or sub in ("lm_head.weight",):
+            return translate_gpt2_keys(sub, value, tower, report)
+        return translate_t5_keys(sub, value, tower, report)
     m = re.fullmatch(r"narr_pooling_layer\.out_mlp\.(weight|bias)", key)
     if m:
         f = m.group(1)
@@ -352,6 +469,7 @@ def translate_reference_checkpoint(state_dict: dict, params: Any, fpn_features=(
             continue
         report["unmatched_source"].append(key)
 
+    report.pop("_embed_done", None)
     if s2d_target:
         from transfusion_tpu.models.resnet import fold_stem_to_s2d
 
@@ -427,6 +545,12 @@ def main(argv=None):
         patch_hw=tuple(zip(cfg.fusion.patch_h, cfg.fusion.patch_w)),
     )
     ocp.StandardCheckpointer().save(os.path.abspath(args.out), new_params, force=True)
+    # Provenance sidecar: restoring pretrained (vocab-aligned) tower weights
+    # while a hash-fallback tokenizer is active would silently produce garbage
+    # token ids — the trainer checks this marker and fails loudly.
+    with open(os.path.join(os.path.abspath(args.out) + ".provenance.json"), "w") as fp:
+        json.dump({"source": "torch_translation", "pretrained_language_tower": True,
+                   "checkpoint": os.path.basename(args.checkpoint)}, fp)
     summary = {
         "translated": report["translated"],
         "unmatched_source": len(report["unmatched_source"]),
