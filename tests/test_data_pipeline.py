@@ -213,3 +213,66 @@ def test_pooled_video_narration_lookup():
     np.testing.assert_allclose(lk["u3"], [0.0, 0.0])
     lk_max = pooled_video_narration_lookup(annots, embeds, pooling="max")
     np.testing.assert_allclose(lk_max["u1"], [1.0, 1.0])
+
+
+def test_glove_narration_embedder(tmp_path):
+    """Word-table narration variant (narration_embeddings.py:17-73): parse,
+    L2-normalize, alias remap, max/mean pooling, unknown-word skip."""
+    import numpy as np
+
+    from transfusion_tpu.data.glove import GloveNarrationEmbedder, load_glove_table
+
+    path = tmp_path / "glove.6B.4d.txt"
+    path.write_text(
+        "take 1 0 0 0\n"
+        "zucchini 0 2 0 0\n"
+        "pan 0 0 3 0\n"
+    )
+    table = load_glove_table(str(path), normalize=True)
+    np.testing.assert_allclose(table["zucchini"], [0, 1, 0, 0])
+    # alias remap (narration_embeddings.py:35)
+    np.testing.assert_allclose(table["courgette"], table["zucchini"])
+
+    emb = GloveNarrationEmbedder(str(path), size=4, pooling="max")
+    # unknown word 'the' skipped; max pooling over the rest
+    np.testing.assert_allclose(emb("take the courgette, pan"), [1, 1, 1, 0])
+    mean = GloveNarrationEmbedder(str(path), size=4, pooling="mean")
+    np.testing.assert_allclose(mean("take pan"), [0.5, 0, 0.5, 0])
+    # all-unknown narration -> zeros of the table size
+    np.testing.assert_allclose(emb("wibble wobble"), np.zeros(4))
+    # cache returns identical object
+    assert emb("take pan") is emb("take pan")
+
+
+def test_merged_nao_dataset(annots, ego_fixture):
+    """Multi-source concat with unified label mappings
+    (snao_datasets.py:22-43): source tagging, union mappings, index routing."""
+    from transfusion_tpu.data.dataset import MergedNaoDataset
+
+    split = load_split(annots, {"subset": 0})
+    train_df, val_df, _ = apply_split(annots, split)
+    nmap = generated_label_mapping(annots["all_nouns"].explode())
+    vmap = generated_label_mapping(annots["all_verbs"].explode())
+    aug = AugConfig(resize_spec=((96, 128),))
+    lookup = build_narration_lookup(annots, "current")
+    mk = lambda df: EgoNaoDataset(
+        annots=df, frames_dir=ego_fixture["frames_dir"],
+        noun_mapping=nmap, verb_mapping=vmap, aug=aug,
+        narration_lookup=lookup, uid_col="video_id",
+    )
+    a, b = mk(train_df), mk(val_df)
+    merged = MergedNaoDataset({"srcA": a, "srcB": b})
+    assert len(merged) == len(a) + len(b)
+    # Source tags land in the concat annotations (snao_datasets.py:27-28).
+    assert set(merged.annots["source"].unique()) == {"srcA", "srcB"}
+    # Union mappings cover every label of both sources.
+    assert set(merged.noun_mapping) >= set(
+        annots.loc[train_df.index.union(val_df.index), "all_nouns"].explode()
+    )
+    # Routing: the first sample of source B is merged[len(a)].
+    rng = np.random.default_rng(0)
+    ex_b0 = merged.get_example(len(a), rng, (96, 128), training=False)
+    direct = merged.datasets["srcB"].get_example(0, np.random.default_rng(0), (96, 128), False)
+    assert ex_b0["id"] == direct["id"]
+    np.testing.assert_array_equal(ex_b0["nouns"], direct["nouns"])
+    assert merged.num_nouns == len(merged.noun_mapping) + 1

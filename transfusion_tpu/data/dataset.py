@@ -133,6 +133,9 @@ class EgoNaoDataset:
     # text tower is the identity path; zero-filled when a uid is missing.
     narration_embedding_lookup: Any = None
     narration_embedding_dim: int = 384
+    # Word-embedding-table variant (glove): callable(narration str) -> vector
+    # (data.glove.GloveNarrationEmbedder); takes precedence over the uid cache.
+    narration_embedder: Any = None
 
     def __len__(self):
         return len(self.annots)
@@ -191,7 +194,13 @@ class EgoNaoDataset:
             hb, hp = self.hand_pose_lookup.get(video, int(row["Frame_no"]))
             sample["hand_boxes"] = hb
             sample["hand_poses"] = hp
-        if self.narration_embedding_lookup is not None:
+        if self.narration_embedder is not None:
+            # Word-table variant (glove): embed the narration STRING
+            # (narration_embeddings.py:48-73), not a uid-keyed cache.
+            sample["language_f"] = np.asarray(
+                self.narration_embedder(sample["narration"]), np.float32
+            )
+        elif self.narration_embedding_lookup is not None:
             vec = self.narration_embedding_lookup.get(uid)
             if vec is None:
                 vec = np.zeros(self.narration_embedding_dim, np.float32)
@@ -250,3 +259,55 @@ def collate(samples: list[dict], tokenizer=None, lang_max_length: int = 128) -> 
     if "language_f" in samples[0]:
         batch["language_f"] = np.stack([s["language_f"] for s in samples])
     return batch
+
+
+class MergedNaoDataset:
+    """Multi-source dataset concat with UNIFIED label mappings
+    (``MergedNaoDataset``, data_preprocessing/datasets/snao_datasets.py:22-43):
+    each source's annotations are tagged with their source name, noun/verb
+    mappings are rebuilt over the union of all sources' labels, and indexing
+    routes through cumulative offsets. Every source dataset is re-viewed with
+    the merged mappings so labels are consistent across sources."""
+
+    def __init__(self, datasets: dict[str, "EgoNaoDataset"], mapping_file: str | None = None):
+        from dataclasses import replace
+
+        from transfusion_tpu.data.labels import get_label_mapping
+
+        tagged = {
+            src: ds.annots.assign(source=src) for src, ds in datasets.items()
+        }  # snao_datasets.py:27-28
+        self.annots = pd.concat(list(tagged.values()), axis=0)
+        noun_mapping = get_label_mapping(self.annots["all_nouns"].explode(), "noun", mapping_file)
+        verb_mapping = get_label_mapping(self.annots["all_verbs"].explode(), "verb", mapping_file)
+        self.noun_mapping, self.verb_mapping = noun_mapping, verb_mapping
+        self.datasets = {
+            src: replace(ds, annots=tagged[src], noun_mapping=noun_mapping,
+                         verb_mapping=verb_mapping)
+            for src, ds in datasets.items()
+        }
+        self._order = list(self.datasets)
+        self._offsets = np.cumsum([0] + [len(self.datasets[s]) for s in self._order])
+        self.verb_bg = next(iter(datasets.values())).verb_bg
+        self.narration_lookup = {}
+        for ds in self.datasets.values():
+            self.narration_lookup.update(ds.narration_lookup)
+
+    def __len__(self):
+        return int(self._offsets[-1])
+
+    @property
+    def num_nouns(self) -> int:
+        return 1 + len(self.noun_mapping)
+
+    @property
+    def num_verbs(self) -> int:
+        return len(self.verb_mapping) + (1 if self.verb_bg else 0)
+
+    def _route(self, idx: int):
+        src_i = int(np.searchsorted(self._offsets, idx, side="right")) - 1
+        return self.datasets[self._order[src_i]], idx - int(self._offsets[src_i])
+
+    def get_example(self, idx: int, rng: np.random.Generator, bucket, training: bool) -> dict:
+        ds, local = self._route(idx)
+        return ds.get_example(local, rng, bucket, training)
