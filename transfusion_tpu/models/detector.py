@@ -91,16 +91,25 @@ class FasterRCNN(nn.Module):
     def apply_fpn(self, feats):
         return self.fpn(feats)
 
-    def apply_rpn_roi(self, fpn_feats, image_hw, targets=None, train: bool = False):
+    def apply_rpn_roi(self, fpn_feats, image_hw, targets=None, train: bool = False,
+                      sample: bool | None = None):
         """RPN + RoI heads over FPN features.
 
         Returns the reference's output contract: {"roi_outputs", "proposals",
         "image_sizes"} with raw logits + labels for external losses.
+
+        ``sample`` decouples target assignment/RoI sampling from ``train``
+        (dropout / proposal counts): validation losses need sampled labels on
+        a deterministic eval forward (the reference's validation_step stacks
+        constant-zero losses instead, ego_nao_trainer.py:407-427 — here the
+        real losses are computed).
         """
+        if sample is None:
+            sample = train
         objectness, deltas = self.rpn_head(fpn_feats)
         rpn_out = generate_proposals(objectness, deltas, image_hw, self.cfg.rpn, train)
 
-        if train:
+        if sample:
             assert targets is not None
             labels, reg_targets = assign_targets_to_anchors(
                 rpn_out["anchors"], targets["boxes"], targets["valid"], self.cfg.rpn

@@ -231,6 +231,65 @@ class TransFusion(nn.Module):
         optional targets dict. Returns the reference output contract
         {"roi_outputs", "proposals", "image_sizes"[, "lm"]}."""
         c = self.cfg
+        fpn_feats, lang_ctx = self._trunk(batch, train)
+        outputs = self.rcnn.apply_rpn_roi(
+            fpn_feats, batch["image_hw"], batch.get("targets"), train
+        )
+
+        if c.use_language and c.lm_on:
+            outputs["lm"] = self._lm_outputs(lang_ctx)
+
+        if c.ttc_hand is not None and train and "hand_boxes" in batch:
+            # Training second pass (ego_nao_trainer.py:326-360): postprocess
+            # detections (no gradient flows through argmax/NMS), run the
+            # transformer head on their box features + hand history, and
+            # expose the per-detection TTCs for the criterion.
+            from transfusion_tpu.models.detector import detections_from_outputs
+
+            # The reference runs postprocess under no_grad, so the head's
+            # inputs (box features, det boxes) are detached — the ttc
+            # criterion trains only the head (ego_nao_trainer.py:325 comment).
+            dets = jax.tree.map(jax.lax.stop_gradient, detections_from_outputs(
+                outputs, c.detector, training=True
+            ))
+            roi_sg = dict(outputs["roi_outputs"],
+                          box_features=jax.lax.stop_gradient(outputs["roi_outputs"]["box_features"]))
+            second = self.predict_ttc(
+                dets, roi_sg, batch, batch["image_hw"], training=True
+            )
+            k = min(c.max_ttc_boxes, second["ttcs"].shape[1])
+            outputs["ttc_hand"] = {
+                "ttcs": second["ttcs"][:, :k],
+                "valid": second["valid"][:, :k],
+            }
+        return outputs
+
+    def eval_with_losses(self, batch: dict):
+        """One deterministic eval forward producing BOTH the detection outputs
+        (full proposal set, for postprocess/metrics) and a loss-path output
+        (target-assigned RPN labels + sampled RoIs) so ``evaluate`` can log
+        real validation losses. The heavy trunk (backbone + fusion + FPN) is
+        computed once and shared by both RoI branches. The reference's
+        validation_step logs constant-zero losses dotted with the normalized
+        weight vector (ego_nao_trainer.py:407-427); here the same weighting is
+        applied to actually-computed losses."""
+        c = self.cfg
+        fpn_feats, lang_ctx = self._trunk(batch, train=False)
+        out_eval = self.rcnn.apply_rpn_roi(fpn_feats, batch["image_hw"], None, train=False)
+        out_loss = self.rcnn.apply_rpn_roi(
+            fpn_feats, batch["image_hw"], batch["targets"], train=False, sample=True
+        )
+        if c.use_language and c.lm_on:
+            lm = self._lm_outputs(lang_ctx)
+            out_eval["lm"] = lm
+            out_loss["lm"] = lm
+        return {"eval": out_eval, "loss": out_loss}
+
+    def _trunk(self, batch: dict, train: bool):
+        """Backbone features -> per-level language fusion -> FPN. Returns
+        (fpn_feats, lang_ctx) where lang_ctx carries the fused language
+        tokens for the LM auxiliary head."""
+        c = self.cfg
         feats = self.rcnn.forward_features(batch["image"], train)
 
         lang_out = None
@@ -281,49 +340,26 @@ class TransFusion(nn.Module):
                     feats[key] = fused
 
         fpn_feats = self.rcnn.apply_fpn(feats)
-        outputs = self.rcnn.apply_rpn_roi(
-            fpn_feats, batch["image_hw"], batch.get("targets"), train
-        )
+        lang_ctx = None
+        if c.use_language:
+            lang_ctx = {"language_f": language_f, "lang_out": lang_out,
+                        "mscale_lang": mscale_lang, "lang_mask": lang_mask}
+        return fpn_feats, lang_ctx
 
-        if c.use_language and c.lm_on:
-            # get_lm_layer dispatch (lm_layers.py:5-27) + use_lm_f
-            # (cross_f_box_wrapper.py:223-225).
-            mask_b = lang_mask.astype(bool)
-            if c.lm_use_f:
-                outputs["lm"] = self.lm_layer(language_f, mask_b)
-            elif c.lm_multi == "sep":
-                outs = [layer(f, mask_b) for layer, f in zip(self.lm_layers, mscale_lang)]
-                outputs["lm"] = _mean_lm_outs(outs)
-            elif c.lm_multi:
-                outs = [self.lm_layer(f, mask_b) for f in mscale_lang]
-                outputs["lm"] = _mean_lm_outs(outs)
-            else:
-                outputs["lm"] = self.lm_layer(lang_out, mask_b)
-
-        if c.ttc_hand is not None and train and "hand_boxes" in batch:
-            # Training second pass (ego_nao_trainer.py:326-360): postprocess
-            # detections (no gradient flows through argmax/NMS), run the
-            # transformer head on their box features + hand history, and
-            # expose the per-detection TTCs for the criterion.
-            from transfusion_tpu.models.detector import detections_from_outputs
-
-            # The reference runs postprocess under no_grad, so the head's
-            # inputs (box features, det boxes) are detached — the ttc
-            # criterion trains only the head (ego_nao_trainer.py:325 comment).
-            dets = jax.tree.map(jax.lax.stop_gradient, detections_from_outputs(
-                outputs, c.detector, training=True
-            ))
-            roi_sg = dict(outputs["roi_outputs"],
-                          box_features=jax.lax.stop_gradient(outputs["roi_outputs"]["box_features"]))
-            second = self.predict_ttc(
-                dets, roi_sg, batch, batch["image_hw"], training=True
-            )
-            k = min(c.max_ttc_boxes, second["ttcs"].shape[1])
-            outputs["ttc_hand"] = {
-                "ttcs": second["ttcs"][:, :k],
-                "valid": second["valid"][:, :k],
-            }
-        return outputs
+    def _lm_outputs(self, lang_ctx: dict) -> dict:
+        """get_lm_layer dispatch (lm_layers.py:5-27) + use_lm_f
+        (cross_f_box_wrapper.py:223-225)."""
+        c = self.cfg
+        mask_b = lang_ctx["lang_mask"].astype(bool)
+        if c.lm_use_f:
+            return self.lm_layer(lang_ctx["language_f"], mask_b)
+        if c.lm_multi == "sep":
+            outs = [layer(f, mask_b) for layer, f in zip(self.lm_layers, lang_ctx["mscale_lang"])]
+            return _mean_lm_outs(outs)
+        if c.lm_multi:
+            outs = [self.lm_layer(f, mask_b) for f in lang_ctx["mscale_lang"]]
+            return _mean_lm_outs(outs)
+        return self.lm_layer(lang_ctx["lang_out"], mask_b)
 
     def predict_ttc(self, dets: dict, roi_outputs: dict, batch: dict, image_hw,
                     training: bool = False) -> dict:

@@ -47,6 +47,33 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree.map(put, batch)
 
 
+def allgather_pyobj(obj, process_count: int | None = None):
+    """All-gather an arbitrary picklable object across hosts; returns the
+    list of every process's object (ordered by process index).
+
+    The cross-host fix for the reference's sharded-eval caveat
+    (``/root/reference/README.md:59``: per-rank partial metrics require
+    offline JSON fusion) — prediction/label sets gather to every host so the
+    logged metric is exact. Single-process: returns ``[obj]`` without touching
+    any collective."""
+    import pickle
+
+    n = process_count if process_count is not None else jax.process_count()
+    if n == 1:
+        return [obj]
+    from jax.experimental import multihost_utils
+
+    data = np.frombuffer(pickle.dumps(obj), np.uint8)
+    sizes = multihost_utils.process_allgather(np.array([data.size], np.int64))
+    sizes = np.asarray(sizes).reshape(-1)
+    padded = np.zeros(int(sizes.max()), np.uint8)
+    padded[: data.size] = data
+    gathered = np.asarray(multihost_utils.process_allgather(padded))
+    return [
+        pickle.loads(gathered[i, : int(sizes[i])].tobytes()) for i in range(gathered.shape[0])
+    ]
+
+
 def _is_model_shardable(path_str: str, shape) -> P | None:
     """Sharding rule for the model axis: large matmul weights in the fusion
     stack, box head, and text encoder shard their output (last) dim."""

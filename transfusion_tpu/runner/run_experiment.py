@@ -37,7 +37,11 @@ def get_parser() -> argparse.ArgumentParser:
                    help="output directory (default: $RUNS/<experiment>/<timestamp>)")
     p.add_argument("--mesh-model", type=int, default=1,
                    help="model-parallel axis size (data axis uses the rest)")
-    p.add_argument("--do-not-log-checkpoints", action="store_true", default=False)
+    p.add_argument("--do-not-log-checkpoints", action="store_true", default=False,
+                   help="skip uploading per-epoch checkpoint artifacts to wandb")
+    p.add_argument("--distributed", action="store_true", default=False,
+                   help="call jax.distributed.initialize() for multi-host runs "
+                        "(also triggered by TRANSFUSION_DISTRIBUTED=1)")
     p.add_argument("--wandb-entity", default=None)
     p.add_argument("--wandb-project", default="transfusion-tpu")
     return p
@@ -69,6 +73,14 @@ def main(argv=None):
     args = get_parser().parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
 
+    if args.distributed or os.environ.get("TRANSFUSION_DISTRIBUTED") == "1":
+        # Multi-host entry: one process per host over DCN, auto-detected
+        # coordinator on TPU pods (the jax-native replacement for the
+        # reference's PL DDP process group, run_experiment.py:452-453).
+        import jax
+
+        jax.distributed.initialize()
+
     from transfusion_tpu.config import derive_config, load_config
     from transfusion_tpu.parallel.mesh import make_mesh
     from transfusion_tpu.runner.trainer import EgoNaoTrainer
@@ -88,6 +100,14 @@ def main(argv=None):
     logging.info("run dir: %s", run_dir)
 
     wb = maybe_wandb(config, args)
+    if wb is not None:
+        # Config artifact at run start (the reference logs configs + code as
+        # artifacts, run_experiment.py:312-327).
+        import wandb
+
+        art = wandb.Artifact(f"config-{wb.id}", type="config")
+        art.add_file(os.path.join(run_dir, "config.json"))
+        wb.log_artifact(art)
     mesh = make_mesh(model=args.mesh_model)
     trainer = EgoNaoTrainer(config, run_dir, debug=config["debug"], mesh=mesh)
 
@@ -107,10 +127,13 @@ def main(argv=None):
         result = trainer.evaluate(0, source="val")
         print(json.dumps(result.metrics, indent=1))
     else:
-        history = trainer.fit(epochs=args.epochs, resume_from=resume)
-        if wb is not None:
-            for rec in history:
-                wb.log(rec)
+        # Scalars log live per epoch and checkpoints upload as model-<id>
+        # artifacts inside fit (a killed run keeps everything logged so far —
+        # unlike a post-hoc replay).
+        history = trainer.fit(
+            epochs=args.epochs, resume_from=resume, wandb_run=wb,
+            log_checkpoints=not args.do_not_log_checkpoints,
+        )
         print(json.dumps(history[-1] if history else {}, indent=1))
     if wb is not None:
         wb.finish()

@@ -50,6 +50,7 @@ from transfusion_tpu.data.transforms import AugConfig
 from transfusion_tpu.metrics import STAMeanAveragePrecision
 from transfusion_tpu.models.transfusion import TransFusion, build_transfusion_config
 from transfusion_tpu.parallel.mesh import (
+    allgather_pyobj,
     make_mesh,
     opt_state_shardings,
     param_shardings,
@@ -63,8 +64,10 @@ from transfusion_tpu.train.step import (
     LossConfig,
     criterion_weights,
     init_state,
+    make_eval_loss_step,
     make_eval_step,
     make_train_step,
+    normalized_criterion_weights,
 )
 
 log = logging.getLogger("transfusion_tpu")
@@ -300,8 +303,23 @@ class EgoNaoTrainer:
         # Embed/Sbert dataset variants); env NARR_EMBED_CACHE is a pickle of
         # {uid: vector}. Zero vectors keep the path runnable without it.
         narr_embed_lookup = None
+        narr_embedder = None
         tp = narr_args.get("text_pooling", "sbert_finetune")
-        if narr_args.get("pooling") == "sbert" or tp not in ("sbert_finetune", "gpt2", "t5-wikihow"):
+        if narr_args.get("type") == "glove":
+            # Word-embedding-table variant (narration_embeddings.py:17-73):
+            # $DATA/glove.6B.{size}d.txt pooled per narration string.
+            from transfusion_tpu.data.glove import GloveNarrationEmbedder
+
+            narr_embedder = GloveNarrationEmbedder.from_env(
+                size=narr_args.get("size", 300),
+                pooling=narr_args.get("pooling", "max"),
+                normalize=narr_args.get("normalize", True),
+            )
+            if narr_embedder is None:
+                narr_embed_lookup = {}
+        elif narr_args.get("pooling") == "sbert" or tp not in (
+            "sbert_finetune", "gpt2", "t5-wikihow"
+        ):
             cache = os.environ.get("NARR_EMBED_CACHE", "")
             if cache and os.path.isfile(cache):
                 import pickle
@@ -318,6 +336,7 @@ class EgoNaoTrainer:
             uid_col=uid_col, verb_bg=verb_bg, hand_pose_lookup=hand_lookup,
             narration_embedding_lookup=narr_embed_lookup,
             narration_embedding_dim=narr_args.get("size", 384),
+            narration_embedder=narr_embedder,
         )
         self.train_ds, self.val_ds, self.test_ds = mk(train_df), mk(val_df), mk(test_df)
         self.num_nouns = self.train_ds.num_nouns
@@ -396,11 +415,23 @@ class EgoNaoTrainer:
         # freed params+moments buffers (~3x param bytes) are what lets XLA
         # avoid rematerializing the backward at flagship batch sizes.
         self.train_step = make_train_step(
-            self.model, self.tx, self.loss_cfg, self.noun_w, self.verb_w, donate=True
+            self.model, self.tx, self.loss_cfg, self.noun_w, self.verb_w, donate=True,
+            # bf16 weight-grad path rides with bf16 compute (precision 16);
+            # run.bf16_grads overrides either way (additive TPU knob).
+            bf16_grads=bool(self.run.get("bf16_grads",
+                                         self.model_cfg.dtype == jnp.bfloat16)),
         )
         self.eval_step = make_eval_step(
             self.model, self.model_cfg.detector, noun_verb_frequencies=self.noun_verb_freqs
         )
+        # Combined detections + real val-loss program (the reference logs a
+        # normalized-weight val loss whose per-term values are constant zeros,
+        # ego_nao_trainer.py:407-427; here the terms are computed).
+        self.eval_loss_step = make_eval_loss_step(
+            self.model, self.model_cfg.detector, self.loss_cfg, self.noun_w, self.verb_w,
+            noun_verb_frequencies=self.noun_verb_freqs,
+        )
+        self.val_loss_w = jnp.asarray(normalized_criterion_weights(self.criterion))
         self.state = None
 
     # ---------------------------------------------------------------- init
@@ -448,12 +479,36 @@ class EgoNaoTrainer:
                 batch_stats = jax.device_put(batch_stats, replicated(self.mesh))
             self.state = state.replace(params=params, opt_state=opt_state, batch_stats=batch_stats)
         if resume_from:
+            self._check_tokenizer_provenance(resume_from)
             fresh = self.state.params
             # The template is already sharded, so restore places arrays
             # directly onto the mesh.
             self.state = self.ckpt.restore(self.state, path=resume_from)
             if self.run.get("replace_heads", False) == "all":
                 self.state = self.state.replace(params=replace_heads(self.state.params, fresh))
+
+    def _check_tokenizer_provenance(self, resume_from: str):
+        """Fail loudly when a checkpoint carrying PRETRAINED language-tower
+        weights (translate_checkpoint provenance sidecar) is restored while
+        the active tokenizer is a hash fallback: the tower would see garbage
+        token ids with no error otherwise."""
+        prov_path = os.path.abspath(resume_from).rstrip("/") + ".provenance.json"
+        if not os.path.isfile(prov_path):
+            return
+        with open(prov_path) as fp:
+            prov = json.load(fp)
+        if (
+            prov.get("pretrained_language_tower")
+            and getattr(self.tokenizer, "is_hash_fallback", False)
+            and self.model_cfg.text_encoder != "identity"
+        ):
+            raise RuntimeError(
+                f"checkpoint {resume_from!r} carries pretrained language-tower "
+                "weights but the active tokenizer is a hash fallback (no vocab "
+                "files found) — token ids would be garbage. Provide the real "
+                "vocab via TOKENIZER_VOCAB / GPT2_VOCAB_JSON+GPT2_MERGES / "
+                "T5_SPM (or TOKENIZER_DIR) and retry."
+            )
 
     # ---------------------------------------------------------------- train
     def _device_batch(self, batch, with_targets=True):
@@ -545,24 +600,38 @@ class EgoNaoTrainer:
         return out
 
     # ----------------------------------------------------------------- eval
+    def _process_count(self) -> int:
+        return jax.process_count()
+
+    def _process_index(self) -> int:
+        return jax.process_index()
+
     def evaluate(self, epoch: int, dataset=None, source="val", export=True) -> EvalResult:
         self.ensure_state()
         ds = dataset if dataset is not None else self.val_ds
         loader = DataLoader(
             ds, self.val_bs, tokenizer=self.tokenizer, training=False,
-            seed=self.seed, shard_index=jax.process_index(), num_shards=jax.process_count(),
+            seed=self.seed, shard_index=self._process_index(), num_shards=self._process_count(),
             lang_max_length=self.tokenizer.max_length, drop_last=False,
         )
         metric = STAMeanAveragePrecision(top_k=5)
+        pairs: list = []  # (preds, labels) per image, fused across hosts
+        loss_agg: dict = {}
+        loss_batches = 0
         results: dict = {}
         bucket = self.aug.eval_bucket()
         first_plot = None
         with self.mesh:
             for batch in loader:
-                db = self._device_batch(batch, with_targets=False)
-                dets = jax.device_get(
-                    self.eval_step(self.state.params, db, tuple(bucket), self.state.batch_stats)
+                db = self._device_batch(batch, with_targets=True)
+                dets, losses = self.eval_loss_step(
+                    self.state.params, db, self.val_loss_w, tuple(bucket),
+                    self.state.batch_stats,
                 )
+                dets = jax.device_get(dets)
+                for k, v in losses.items():
+                    loss_agg[k] = loss_agg.get(k, 0.0) + float(v)
+                loss_batches += 1
                 n_real = len(batch["uids"])
                 if first_plot is None and self.plotter is not None:
                     first_plot = (
@@ -595,7 +664,7 @@ class EgoNaoTrainer:
                         "verbs": t["verbs"][i][gv],
                         "ttcs": t["ttcs"][i][gv],
                     }
-                    metric.add(preds, labels)
+                    pairs.append((preds, labels))
                 results.update(
                     detections_to_results(
                         jax.tree.map(lambda x: x[:n_real], dets),
@@ -605,8 +674,22 @@ class EgoNaoTrainer:
                 )
 
         loader.close()
+        # Cross-host fusion: every host gathers every shard's (preds, labels)
+        # and result entries, so the logged metric is exact and process 0
+        # writes the FULL prediction JSON — the fix for the caveat the
+        # reference only documents (README.md:59 partial per-rank metrics).
+        if self._process_count() > 1:
+            shards = allgather_pyobj((pairs, results), self._process_count())
+            pairs = [p for shard_pairs, _ in shards for p in shard_pairs]
+            results = {k: v for _, shard_results in shards for k, v in shard_results.items()}
+        for preds, labels in pairs:
+            metric.add(preds, labels)
         values = metric.evaluate()
         metrics = {f"{name}_{source}": v for name, v in zip(metric.get_short_names(), values)}
+        # Real per-term validation losses under the normalized weight vector
+        # (the reference's weighting, applied to computed — not zero — terms).
+        for k, v in loss_agg.items():
+            metrics[f"{source}_{k}"] = v / max(loss_batches, 1)
         log.info("epoch %d %s: %s", epoch, source, {k: round(v, 3) for k, v in metrics.items()})
 
         if first_plot is not None:
@@ -616,28 +699,59 @@ class EgoNaoTrainer:
                 log.warning("plot callback failed: %s", e)
 
         path = None
-        if export:
-            shard = f"_shard{jax.process_index()}" if jax.process_count() > 1 else ""
+        if export and (self._process_count() == 1 or self._process_index() == 0):
             path = os.path.join(
-                self.run_dir, "results", f"{source}_epoch{epoch}{shard}.json"
+                self.run_dir, "results", f"{source}_epoch{epoch}.json"
             )
             write_result_json(results, path, epoch=epoch)
         return EvalResult(metrics=metrics, result_json_path=path)
 
     # ------------------------------------------------------------------ fit
-    def fit(self, epochs: int | None = None, resume_from: str | None = None):
+    def fit(self, epochs: int | None = None, resume_from: str | None = None,
+            wandb_run=None, wandb_module=None, log_checkpoints: bool = True):
+        """Train for ``epochs``. When ``wandb_run`` is given, scalars are
+        logged LIVE per epoch and each epoch's checkpoint is uploaded as the
+        ``model-<run_id>`` artifact (auto-versioned vN — the address
+        ``wandb_resume.resolve_resume`` downloads), with result JSONs attached
+        as ``results-<run_id>`` — the upload side of the reference's system of
+        record (WandbLogger(log_model="all") run_experiment.py:340, per-epoch
+        result artifacts ego_nao_trainer.py:250). ``log_checkpoints=False``
+        implements --do-not-log-checkpoints."""
         epochs = epochs if epochs is not None else self.run["epochs"]
         self.ensure_state(resume_from)
         val_every = max(int(self.run.get("val_every", 1.0)), 1)
+        if wandb_run is not None and wandb_module is None:
+            import wandb as wandb_module  # type: ignore[no-redef]
+        best = None
         for epoch in range(epochs):
             train_metrics = self.train_epoch(epoch)
             record = {"epoch": epoch, **train_metrics}
+            result = None
             if (epoch + 1) % val_every == 0:
                 result = self.evaluate(epoch)
                 record.update(result.metrics)
-            self.ckpt.save(epoch, self.state, metrics=record)
+            ckpt_path = self.ckpt.save(epoch, self.state, metrics=record)
+            # Best-checkpoint pointer named by the monitored metric (the
+            # reference names checkpoint files by it, factories.py:36-59).
+            mval = record.get(self.monitor)
+            if mval is not None and (best is None or mval > best["value"]):
+                best = {"metric": self.monitor, "value": float(mval),
+                        "epoch": epoch, "path": ckpt_path}
+                with open(os.path.join(self.ckpt.dir, "best.json"), "w") as fp:
+                    json.dump(best, fp, indent=1)
             self.history.append(record)
             with open(os.path.join(self.run_dir, "history.jsonl"), "a") as fp:
                 fp.write(json.dumps(record) + "\n")
+            if wandb_run is not None and self._process_index() == 0:
+                wandb_run.log(record, step=epoch)
+                if log_checkpoints:
+                    self.ckpt.wait()  # orbax saves async; artifact needs files
+                    art = wandb_module.Artifact(f"model-{wandb_run.id}", type="model")
+                    art.add_dir(ckpt_path)
+                    wandb_run.log_artifact(art)
+                if result is not None and result.result_json_path:
+                    art = wandb_module.Artifact(f"results-{wandb_run.id}", type="result")
+                    art.add_file(result.result_json_path)
+                    wandb_run.log_artifact(art)
         self.ckpt.wait()
         return self.history

@@ -137,6 +137,22 @@ def criterion_weights(criterion: dict, epoch: int = 0):
     )
 
 
+def normalized_criterion_weights(criterion: dict):
+    """The VALIDATION loss-weight vector [bbox, noun, verb, ttc, lm]: the
+    reference normalizes the raw criterion weights to sum 1 for its val loss
+    (``abc_nao_trainer.py:57-67`` loss_w = loss_w_init / sum, excluding the
+    non-loss keys no_samples/obj_prop/lm_decay/ttc_beta/obj_prop_rate) and
+    dots them with the per-term losses (``ego_nao_trainer.py:420-427`` — where
+    the reference's per-term values are constant zeros; here they are real)."""
+    import numpy as np
+
+    w = np.array(
+        [criterion.get(k, 0) for k in ("bbox", "noun", "verb", "ttc", "lm")], np.float32
+    )
+    s = w.sum()
+    return w / s if s > 0 else w
+
+
 def make_train_step(
     model,
     tx: optax.GradientTransformation,
@@ -144,12 +160,29 @@ def make_train_step(
     noun_w,
     verb_w,
     donate: bool = True,
+    bf16_grads: bool = False,
 ) -> Callable:
     """Build the jit'd train step. loss_w is the dynamic criterion weight
     vector [bbox, obj_prop, noun, verb, ttc, lm]; the lm entry decays per
     epoch (abc_nao_trainer.py:160-163) and the obj_prop entry is
     bbox_w * obj_prop * obj_prop_rate**epoch (abc_nao_trainer.py:68-69,165 —
-    see compute_losses for why)."""
+    see compute_losses for why).
+
+    ``bf16_grads``: differentiate w.r.t. a bf16 view of the >=2D f32 params
+    (kernels/embeddings). The flax modules cast those to bf16 inside the
+    forward anyway, so forward numerics are IDENTICAL; the payoff is in the
+    backward — weight-grad convolutions/dots emit bf16 and the large
+    weight-grad reductions move half the HBM bytes. Biases/norm scales stay
+    f32 (their per-layer f32 compute paths keep exact numerics); master
+    params and RAdam moments stay f32 in the optimizer (mixed-precision
+    standard practice)."""
+
+    def to_bf16_grads_view(params):
+        return jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if (x.dtype == jnp.float32 and x.ndim >= 2) else x,
+            params,
+        )
 
     def step_fn(state: TrainState, batch, rng, loss_w, image_hw, update_mult=None):
         # image_hw is static: it selects the compile bucket (one program per
@@ -183,7 +216,8 @@ def make_train_step(
                 total = jnp.sum(stacked)
             return total, (metrics, new_bs)
 
-        (loss, (metrics, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        grad_params = to_bf16_grads_view(state.params) if bf16_grads else state.params
+        (loss, (metrics, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(grad_params)
         if update_mult is not None:
             # Freeze by masking the *gradients* (reference: requires_grad=False,
             # ego_nao_trainer.py:265-272) so optimizer moments stay exactly zero
@@ -243,12 +277,67 @@ def make_eval_step(model, detector_cfg, noun_verb_frequencies=None) -> Callable:
     return jax.jit(step_fn, static_argnums=(2,))
 
 
+def make_eval_loss_step(
+    model, detector_cfg, loss_cfg: LossConfig, noun_w, verb_w, noun_verb_frequencies=None
+) -> Callable:
+    """Eval forward producing detections AND real validation losses in one
+    compiled program (one shared trunk — see TransFusion.eval_with_losses).
+
+    loss_w is the NORMALIZED 5-slot [bbox, noun, verb, ttc, lm] vector
+    (``normalized_criterion_weights``); the returned metrics dict carries the
+    combined val loss plus every per-term loss. The reference logs this
+    weighting applied to constant zeros (ego_nao_trainer.py:407-427)."""
+    from transfusion_tpu.models.detector import detections_from_outputs
+
+    def step_fn(params, batch, loss_w, image_hw, batch_stats=None):
+        batch = dict(batch, image_hw=image_hw)
+        variables = {"params": params}
+        if batch_stats is not None:
+            variables["batch_stats"] = batch_stats
+        outputs = model.apply(
+            variables, batch, method="eval_with_losses",
+            rngs={"sampling": jax.random.key(0)},
+        )
+        dets = detections_from_outputs(
+            outputs["eval"], detector_cfg, noun_verb_frequencies=noun_verb_frequencies,
+            training=False,
+        )
+        if getattr(model.cfg, "ttc_hand", None) is not None and "hand_boxes" in batch:
+            dets = model.apply(
+                {"params": params}, dets, outputs["eval"]["roi_outputs"], batch, image_hw,
+                method="predict_ttc",
+            )
+            # With the transformer head the linear per-RoI ttc slot is a
+            # placeholder (roi_heads.py:108-112); the val ttc loss scores the
+            # second-pass detections like the training path does.
+            k = min(model.cfg.max_ttc_boxes, dets["ttcs"].shape[1])
+            outputs["loss"]["ttc_hand"] = {
+                "ttcs": dets["ttcs"][:, :k], "valid": dets["valid"][:, :k]
+            }
+        stacked, metrics = compute_losses(
+            outputs["loss"], batch, jax.random.key(1), loss_cfg, noun_w, verb_w
+        )
+        # Validation stack excludes the RPN slot ([bbox, noun, verb, ttc, lm],
+        # ego_nao_trainer.py:420); the objectness term is still logged.
+        val_stack = jnp.stack([stacked[0], stacked[2], stacked[3], stacked[4], stacked[5]])
+        total = jnp.sum(val_stack * loss_w) if loss_cfg.agg_mean else jnp.sum(val_stack)
+        return dets, {"loss": total, **metrics}
+
+    return jax.jit(step_fn, static_argnums=(3,))
+
+
 def init_state(model, tx, batch, rng) -> TrainState:
-    variables = model.init(
-        {"params": rng, "sampling": jax.random.key(1), "dropout": jax.random.key(2)},
-        batch,
-        True,
-    )
+    # Init under jit: eager flax init dispatches thousands of tiny ops, each
+    # paying a full host->device round trip (minutes through a remote-TPU
+    # relay); one compiled init program is a single dispatch and lands in the
+    # persistent compilation cache.
+    variables = jax.jit(
+        lambda r: model.init(
+            {"params": r, "sampling": jax.random.key(1), "dropout": jax.random.key(2)},
+            batch,
+            True,
+        )
+    )(rng)
     params = variables["params"]
     return TrainState(
         step=jnp.asarray(0),
