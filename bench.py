@@ -17,12 +17,37 @@ and subtracts the measured null-program round-trip. That isolates on-device
 compute — the number that transfers to a co-located TPU host where input
 staging rides PCIe/DMA instead of the relay.
 
+Weights: random init produces degenerate near-uniform softmax scores, so the
+bench first runs TRANSFUSION_BENCH_CALIB (default 30) compiled train steps
+ON-DEVICE (params never cross the tunnel; fetching ~240 MB of weights at the
+relay's seconds/MB would dwarf everything) against synthetic targets before
+timing — the classifier moves to a background-dominated regime so
+NMS/additional-postprocess see realistic keep-counts, and the bench prints
+the mean kept-detections diagnostic to stderr to prove it. Set
+TRANSFUSION_BENCH_CKPT=<orbax dir> to bench a translate_checkpoint-produced
+param set instead (real pretrained weights), or TRANSFUSION_BENCH_CALIB=0
+for raw random init.
+
 vs_baseline: BASELINE.json publishes no reference numbers ("published": {}),
-so the denominator is a documented estimate of the reference torch pipeline's
-eval throughput on its own hardware (A100-80GB): ~50 frames/s/GPU, derived
-from the model's ~0.4 TFLOP/frame forward at 768x1024 and typical fp32/TF32
-A100 utilization for this mixed conv+attention workload. Replace with a
-measured number when a reference reproduction exists.
+so the denominator is a DERIVED estimate of the reference torch pipeline on
+its own hardware (A100-80GB), with the math shown rather than a bare
+constant:
+  * forward cost: measured from THIS model via XLA cost analysis
+    (compiled.cost_analysis()['flops']) at 768x1024 — printed to stderr each
+    run; 0.88 TFLOP/frame (fwd+postprocess; fusion stack dominates), and the
+    reference's torch graph is the same architecture (same backbone/fusion/
+    head FLOPs; SURVEY §2.2).
+  * eval denominator 50 f/s: A100 TF32 peak is 156 TF/s; eager torchvision
+    detection pipelines with per-class NMS and python-side postprocess
+    typically achieve 10-15% of peak, which at 0.88 TFLOP/frame would be
+    ~23 f/s; 50 f/s assumes the reference sustains ~44 TF/s (28% of peak) —
+    a deliberately CONSERVATIVE denominator that understates vs_baseline.
+  * train denominator 18 f/s: fwd+bwd ~= 3x forward FLOPs = 2.6 TFLOP/frame;
+    18 f/s assumes ~47 TF/s effective (again generous; a 15-20% util
+    estimate gives 9-12 f/s); consistent with the reference's published
+    footprint (v2: 3 GPUs, global bs 40, ~250 epochs over ~100k-frame
+    train epochs in days — README.md:57).
+Replace with a measured number when a reference reproduction exists.
 """
 
 import json
@@ -31,9 +56,10 @@ import time
 
 import os
 
-REFERENCE_FPS_ESTIMATE = 50.0
-REFERENCE_TRAIN_FPS_ESTIMATE = 18.0  # ~0.4 TFLOP fwd * 3 for bwd on A100 TF32
+REFERENCE_FPS_ESTIMATE = 50.0  # derivation in the module docstring
+REFERENCE_TRAIN_FPS_ESTIMATE = 18.0  # derivation in the module docstring
 BATCH = int(os.environ.get("TRANSFUSION_BENCH_BATCH", "8"))
+CALIB_STEPS = int(os.environ.get("TRANSFUSION_BENCH_CALIB", "30"))
 H, W = 768, 1024
 LANG_LEN = 64
 K = 8  # model iterations inside the on-device loop
@@ -51,11 +77,90 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
 
+def _train_batch(rng, nn_, nv):
+    """Synthetic calibration/training batch at bench shapes."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    boxes = np.stack([
+        np.stack([
+            np.array([100.0 + 30 * i, 80.0 + 20 * i, 400.0 + 10 * i, 360.0 + 15 * i])
+            for i in range(2)
+        ])
+        for _ in range(BATCH)
+    ])
+    return {
+        "image": jnp.asarray(rng.normal(0, 0.7, (BATCH, H, W, 3)).astype(np.float32)),
+        "input_ids": jnp.asarray(rng.integers(0, 30000, (BATCH, LANG_LEN)).astype(np.int32)),
+        "attention_mask": jnp.ones((BATCH, LANG_LEN), jnp.int32),
+        "targets": {
+            "boxes": jnp.asarray(boxes, jnp.float32),
+            "nouns": jnp.asarray(rng.integers(1, nn_ - 1, (BATCH, 2)).astype(np.int32)),
+            "verbs": jnp.asarray(rng.integers(0, nv - 1, (BATCH, 2)).astype(np.int32)),
+            "ttcs": jnp.asarray(rng.uniform(0.3, 1.6, (BATCH, 2)).astype(np.float32)),
+            "valid": jnp.ones((BATCH, 2), bool),
+        },
+    }
+
+
+def _calibrated_params(model, cfg, batch, steps: int):
+    """Realistic-weight provenance for the eval bench (see module docstring):
+    either a translated checkpoint (TRANSFUSION_BENCH_CKPT) or `steps`
+    on-device train steps from random init; params never leave the device."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from functools import partial
+
+    ckpt = os.environ.get("TRANSFUSION_BENCH_CKPT", "")
+    if ckpt:
+        import orbax.checkpoint as ocp
+
+        template = jax.eval_shape(
+            lambda k: model.init({"params": k}, dict(batch, image_hw=(H, W)), False),
+            jax.random.key(0),
+        )
+        restored = ocp.StandardCheckpointer().restore(
+            os.path.abspath(ckpt), jax.tree.map(ocp.utils.to_shape_dtype_struct, template["params"])
+        )
+        print(f"bench weights: translated checkpoint {ckpt}", file=sys.stderr)
+        return {"params": jax.device_put(restored)}
+
+    from transfusion_tpu.train.optim import make_optimizer
+    from transfusion_tpu.train.step import LossConfig, criterion_weights, init_state, make_train_step
+
+    nn_, nv = cfg.detector.roi.num_nouns, cfg.detector.roi.num_verbs
+    tx, _ = make_optimizer({"name": "radam", "lr": 1e-4, "weight_decay": 1e-5}, None, 100)
+    tb = _train_batch(np.random.default_rng(7), nn_, nv)
+    state = init_state(model, tx, dict(tb, image_hw=(H, W)), jax.random.key(0))
+    if steps <= 0:
+        print("bench weights: raw random init (TRANSFUSION_BENCH_CALIB=0)", file=sys.stderr)
+        return {"params": state.params}
+    loss_cfg = LossConfig(ttc_on=cfg.detector.roi.ttc_on,
+                          rpn_batch_size_per_image=256, last_noun_idx=nn_ - 1)
+    step = make_train_step(model, tx, loss_cfg, jnp.ones(nn_), jnp.ones(nv), donate=False)
+    crit = {"bbox": 1, "obj_prop": 1, "noun": 1, "verb": 1}
+    if cfg.detector.roi.ttc_on:
+        crit["ttc"] = 1
+    lw = jnp.asarray(criterion_weights(crit))
+
+    @partial(jax.jit, donate_argnums=(0,))
+    def calib(state, batch, i):
+        b = dict(batch, image=batch["image"] + i * 1e-6)
+        new_state, metrics = step(state, b, jax.random.key(0), lw, (H, W))
+        return new_state, metrics["loss"]
+
+    for k in range(steps):
+        state, loss = calib(state, tb, jnp.float32(k))
+    print(f"bench weights: {steps} on-device calibration train steps "
+          f"(final loss {float(loss):.3f})", file=sys.stderr)
+    return {"params": state.params}
+
+
 def main():
     import jax
     import jax.numpy as jnp
     import numpy as np
-    from jax import lax
 
     _enable_compile_cache()
     from __graft_entry__ import _flagship_config
@@ -76,9 +181,7 @@ def main():
         * rng.integers(1, 50, (cfg.detector.roi.num_nouns, cfg.detector.roi.num_verbs))
     ).astype(jnp.float32)
 
-    params = jax.jit(
-        lambda k: model.init({"params": k}, dict(batch, image_hw=(H, W)), False)
-    )(jax.random.key(0))
+    params = _calibrated_params(model, cfg, batch, CALIB_STEPS)
 
     @jax.jit
     def infer_scalar(params, batch, i):
@@ -88,12 +191,30 @@ def main():
         return dets["scores"].sum() + dets["boxes"].sum()
 
     @jax.jit
+    def keep_count(params, batch):
+        out = model.apply(params, dict(batch, image_hw=(H, W)), False)
+        dets = detections_from_outputs(out, cfg.detector, noun_verb_frequencies=freqs)
+        return dets["valid"].sum() / BATCH
+
+    @jax.jit
     def null_program(x):
         return x + 1.0
 
     # Warmup / compile both programs.
     float(infer_scalar(params, batch, jnp.float32(0.0)))
     float(null_program(jnp.float32(0.0)))
+    # Provenance diagnostics: realistic keep-counts + measured fwd FLOPs (the
+    # vs_baseline derivation input — see module docstring).
+    print(f"bench diag: mean kept detections/image = {float(keep_count(params, batch)):.1f} "
+          f"(cap {cfg.detector.roi.detections_per_img})", file=sys.stderr)
+    try:
+        cost = infer_scalar.lower(params, batch, jnp.float32(0.0)).compile().cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        if cost and "flops" in cost:
+            print(f"bench diag: fwd+postprocess FLOPs = "
+                  f"{cost['flops'] / BATCH / 1e12:.3f} TFLOP/frame", file=sys.stderr)
+    except Exception as e:
+        print(f"bench diag: cost analysis unavailable ({e})", file=sys.stderr)
 
     # RTT of a null dispatch+fetch through the harness.
     rtts = []
@@ -158,7 +279,11 @@ def main_train():
     # The v2 flagship criterion: bbox/obj_prop/noun/verb on, ttc/lm off
     # (ego_nao_res50_ego4dv2.yml:145-154).
     loss_cfg = LossConfig(rpn_batch_size_per_image=256, last_noun_idx=nn_ - 1)
-    step = make_train_step(model, tx, loss_cfg, jnp.ones(nn_), jnp.ones(nv), donate=False)
+    step = make_train_step(
+        model, tx, loss_cfg, jnp.ones(nn_), jnp.ones(nv), donate=False,
+        # A/B knob: bf16 weight-grad path (see train.step.make_train_step).
+        bf16_grads=os.environ.get("TRANSFUSION_BF16_GRADS", "1") == "1",
+    )
     lw = jnp.asarray(criterion_weights({"bbox": 1, "obj_prop": 1, "noun": 1, "verb": 1}))
 
     from functools import partial
