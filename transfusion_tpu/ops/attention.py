@@ -120,30 +120,30 @@ def flash_self_attention_blhd(
     d_pad = _round_up(d, 128)
     n_pad = _round_up(n, block_q)
 
-    def pad(x):
-        return jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0), (0, d_pad - d)))
-
-    qp, kp, vp = pad(q), pad(k), pad(v)
+    qp, kp, vp = (_pad_flatten(x, n_pad, d_pad) for x in (q, k, v))
     if key_padding_mask is None:
         key_padding_mask = jnp.zeros((b, n), bool)
     mask = jnp.pad(key_padding_mask, ((0, 0), (0, n_pad - n)), constant_values=True)
     bias = jnp.where(mask, _NEG, 0.0).astype(jnp.float32)[:, None, :]  # [B, 1, N]
 
+    # Flattened [B, N, H*Dp] blocks: the head is selected by the LAST-dim
+    # block index (hi), so every block's trailing dims are (block_q, d_pad) —
+    # 8/128-aligned as Mosaic requires — with no [B,H,N,D] transpose in HBM.
     grid = (b, h, n_pad // block_q)
     out = pl.pallas_call(
         partial(_attn_kernel, scale=scale),
         grid=grid,
         in_specs=[
             pl.BlockSpec((None, 1, n_pad), lambda bi, hi, qi: (bi, 0, 0)),
-            pl.BlockSpec((None, block_q, None, d_pad), lambda bi, hi, qi: (bi, qi, hi, 0)),
-            pl.BlockSpec((None, n_pad, None, d_pad), lambda bi, hi, qi: (bi, 0, hi, 0)),
-            pl.BlockSpec((None, n_pad, None, d_pad), lambda bi, hi, qi: (bi, 0, hi, 0)),
+            pl.BlockSpec((None, block_q, d_pad), lambda bi, hi, qi: (bi, qi, hi)),
+            pl.BlockSpec((None, n_pad, d_pad), lambda bi, hi, qi: (bi, 0, hi)),
+            pl.BlockSpec((None, n_pad, d_pad), lambda bi, hi, qi: (bi, 0, hi)),
         ],
-        out_specs=pl.BlockSpec((None, block_q, None, d_pad), lambda bi, hi, qi: (bi, qi, hi, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, n_pad, h, d_pad), q.dtype),
+        out_specs=pl.BlockSpec((None, block_q, d_pad), lambda bi, hi, qi: (bi, qi, hi)),
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, h * d_pad), q.dtype),
         interpret=interpret,
     )(bias, qp, kp, vp)
-    return out[:, :n, :, :d]
+    return out.reshape(b, n_pad, h, d_pad)[:, :n, :, :d]
 
 
 def xla_self_attention(q, k, v, key_padding_mask=None):
@@ -161,22 +161,34 @@ def xla_self_attention(q, k, v, key_padding_mask=None):
 # dropout. This is the train-path replacement for the XLA attention whose
 # profile shows two walls at flagship shapes: the [B, H, N, N] probability
 # tensors (630 MB per layer at level 0) streamed through HBM, and ~22 ms
-# minor-dim transposes ([B,N,H,D] -> [B,H,D,N]) feeding the einsums. Both
-# kernels read the projections' native [B, N, H, D] layout via strided block
-# windows and never materialize probabilities.
+# minor-dim transposes ([B,N,H,D] -> [B,H,D,N]) feeding the einsums. All
+# kernels read the projections' native [B, N, H, D] layout (padded+flattened
+# to [B, N, H*Dp] so blocks meet Mosaic's 8/128 tiling) and never
+# materialize probabilities in HBM.
+#
+# Structure (classic two-pass flash backward, VMEM-bounded at any N):
+#   fwd:  one pass per q-block over resident K/V; writes O and the per-row
+#         softmax stats (row max m, normalizer l) into a small f32 side
+#         array (lanes 0:32 = m, 32:64 = l).
+#   bwd dQ:  per q-block, fori_loop over KEY chunks (temps are
+#         [block_q, chunk] — a few hundred KB, never the full row set);
+#         D = rowsum(dO*O) is local to the block. Recomputes nothing global.
+#   bwd dK/dV: per k-block, fori_loop over QUERY chunks using the STORED
+#         f32 m/l (exact fwd probabilities by construction).
 #
 # Dropout (torch MultiheadAttention drops attention PROBABILITIES — the
 # reference's token_dropout, cross_f_box_layers.py:50-58) uses a
-# counter-based integer hash (murmur3 finalizer over (row, col, grid cell,
-# seed)), so the backward pass regenerates the identical mask by
-# construction — no RNG state, works under interpret mode on CPU.
+# counter-based integer hash (murmur3 finalizer) over GLOBAL
+# (query_idx, key_idx, batch*head, seed) coordinates, so every pass —
+# whatever its blocking — regenerates the identical mask by construction:
+# no RNG state, no saved mask bytes, works under interpret mode on CPU.
 # --------------------------------------------------------------------------
 
 
-def _dropout_keep_mask(rows: int, cols: int, seed, cell, rate: float):
-    """[rows, cols] bool keep-mask; drop probability = rate."""
-    r = jax.lax.broadcasted_iota(jnp.uint32, (rows, cols), 0)
-    c = jax.lax.broadcasted_iota(jnp.uint32, (rows, cols), 1)
+def _dropout_keep_mask(rows: int, cols: int, row_off, col_off, seed, cell, rate: float):
+    """[rows, cols] bool keep-mask at global offsets; drop probability = rate."""
+    r = jax.lax.broadcasted_iota(jnp.uint32, (rows, cols), 0) + jnp.asarray(row_off).astype(jnp.uint32)
+    c = jax.lax.broadcasted_iota(jnp.uint32, (rows, cols), 1) + jnp.asarray(col_off).astype(jnp.uint32)
     x = (
         r * jnp.uint32(0x9E3779B9)
         + c * jnp.uint32(0x85EBCA6B)
@@ -192,73 +204,138 @@ def _dropout_keep_mask(rows: int, cols: int, seed, cell, rate: float):
     return x >= thresh
 
 
-def _fwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, o_ref, *, scale, rate, n_q_blocks):
+def _fwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
+                *, scale, rate, block_q):
     bi, hi, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-    q = q_ref[:].astype(jnp.float32)
-    k = k_ref[:].astype(jnp.float32)
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
+    # Matmuls run in the INPUT dtype with f32 accumulation: bf16 model inputs
+    # hit the MXU at its native rate (upcasting to f32 first quarters it);
+    # f32 test inputs keep f32 exactness. All softmax math stays f32.
+    s = jax.lax.dot_general(q_ref[:], k_ref[:], (((1,), (1,)), ((), ())),
                             preferred_element_type=jnp.float32) * scale
     s = s + bias_ref[:]
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    p = p / l
     if rate > 0.0:
-        cell = (bi * pl.num_programs(1) + hi) * n_q_blocks + qi
-        keep = _dropout_keep_mask(*p.shape, seed_ref[0, 0], cell, rate)
+        cell = bi * pl.num_programs(1) + hi
+        keep = _dropout_keep_mask(*p.shape, qi * block_q, 0, seed_ref[0, 0], cell, rate)
         p = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - rate))
     o = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[:], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
     o_ref[:] = o.astype(o_ref.dtype)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (p.shape[0], 128), 1)
+    lse_ref[:] = jnp.where(lane < 32, m, l)
 
 
-def _bwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref,
-                dq_ref, dk_ref, dv_ref, *, scale, rate, n_q_blocks):
+def _bwd_dq_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
+                   dq_ref, *, scale, rate, block_q, chunk):
+    """Per q-block dQ, streaming keys in `chunk`-wide slices so the live
+    temporaries are [block_q, chunk] regardless of N."""
     bi, hi, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-
-    @pl.when(qi == 0)
-    def _init():
-        dk_ref[:] = jnp.zeros_like(dk_ref)
-        dv_ref[:] = jnp.zeros_like(dv_ref)
-
+    cell = bi * pl.num_programs(1) + hi
     q = q_ref[:].astype(jnp.float32)
-    k = k_ref[:].astype(jnp.float32)
     do = do_ref[:].astype(jnp.float32)
-    # Recompute the forward probabilities (exact same math + mask).
-    s = jax.lax.dot_general(q, k, (((1,), (1,)), ((), ())),
-                            preferred_element_type=jnp.float32) * scale
-    s = s + bias_ref[:]
-    m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
-    if rate > 0.0:
-        cell = (bi * pl.num_programs(1) + hi) * n_q_blocks + qi
-        keep = _dropout_keep_mask(*p.shape, seed_ref[0, 0], cell, rate)
-        inv = 1.0 / (1.0 - rate)
-        pt = jnp.where(keep, p, 0.0) * inv  # dropped+scaled probs (fwd's p)
-    else:
-        pt = p
-    # dV += P̃^T dO
-    dv_ref[:] += jax.lax.dot_general(pt, do, (((0,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32)
-    # dP̃ = dO V^T ; chain through dropout; softmax VJP
-    dpt = jax.lax.dot_general(do, v_ref[:].astype(jnp.float32),
-                              (((1,), (1,)), ((), ())),
-                              preferred_element_type=jnp.float32)
-    if rate > 0.0:
-        dp = jnp.where(keep, dpt, 0.0) * inv
-    else:
-        dp = dpt
-    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
-    dq_ref[:] = (jax.lax.dot_general(ds, k, (((1,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32) * scale
-                 ).astype(dq_ref.dtype)
-    dk_ref[:] += jax.lax.dot_general(ds, q, (((0,), (0,)), ((), ())),
-                                     preferred_element_type=jnp.float32) * scale
+    # D_i = sum_d dO_id O_id = sum_j p~_ij dp~_ij (zero-padded lanes drop out).
+    d_row = jnp.sum(do * o_ref[:].astype(jnp.float32), axis=-1, keepdims=True)
+    n_pad = k_ref.shape[0]
+    inv = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
+
+    # Pass 1: full-row softmax stats (chunked running max/sum — exact because
+    # the final m is applied to every chunk in pass 2).
+    def stats_body(ci, carry):
+        m_run, l_run = carry
+        kc = k_ref[pl.ds(ci * chunk, chunk), :].astype(jnp.float32)
+        bc = bias_ref[:, pl.ds(ci * chunk, chunk)]
+        s = jax.lax.dot_general(q, kc, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale + bc
+        m_new = jnp.maximum(m_run, jnp.max(s, axis=-1, keepdims=True))
+        l_run = l_run * jnp.exp(m_run - m_new) + jnp.sum(jnp.exp(s - m_new), axis=-1,
+                                                         keepdims=True)
+        return m_new, l_run
+
+    m0 = jnp.full((q.shape[0], 1), -jnp.inf, jnp.float32)
+    l0 = jnp.zeros((q.shape[0], 1), jnp.float32)
+    m, l = jax.lax.fori_loop(0, n_pad // chunk, stats_body, (m0, l0))
+
+    def grad_body(ci, dq):
+        kc = k_ref[pl.ds(ci * chunk, chunk), :].astype(jnp.float32)
+        vc = v_ref[pl.ds(ci * chunk, chunk), :].astype(jnp.float32)
+        bc = bias_ref[:, pl.ds(ci * chunk, chunk)]
+        s = jax.lax.dot_general(q, kc, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale + bc
+        p = jnp.exp(s - m) / l
+        dpt = jax.lax.dot_general(do, vc, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        if rate > 0.0:
+            keep = _dropout_keep_mask(*p.shape, qi * block_q, ci * chunk,
+                                      seed_ref[0, 0], cell, rate)
+            dp = jnp.where(keep, dpt, 0.0) * inv
+        else:
+            dp = dpt
+        ds = p * (dp - d_row)
+        return dq + jax.lax.dot_general(ds, kc, (((1,), (0,)), ((), ())),
+                                        preferred_element_type=jnp.float32) * scale
+
+    dq = jax.lax.fori_loop(0, n_pad // chunk, grad_body,
+                           jnp.zeros((q.shape[0], q_ref.shape[1]), jnp.float32))
+    dq_ref[:] = dq.astype(dq_ref.dtype)
 
 
-def _pad_nd(x, n_pad, d_pad):
+def _bwd_dkv_kernel(seed_ref, bias_ref, k_ref, v_ref, q_ref, do_ref, o_ref, lse_ref,
+                    dk_ref, dv_ref, *, scale, rate, block_k, chunk):
+    """Per k-block dK/dV, streaming queries in `chunk`-tall slices; exact fwd
+    probabilities via the stored f32 (m, l) stats."""
+    bi, hi, ki = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    cell = bi * pl.num_programs(1) + hi
+    k = k_ref[:].astype(jnp.float32)
+    v = v_ref[:].astype(jnp.float32)
+    bias = bias_ref[:]  # [1, block_k]
+    n_pad = q_ref.shape[0]
+    inv = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
+
+    def body(ci, carry):
+        dk, dv = carry
+        qc = q_ref[pl.ds(ci * chunk, chunk), :].astype(jnp.float32)
+        doc = do_ref[pl.ds(ci * chunk, chunk), :].astype(jnp.float32)
+        oc = o_ref[pl.ds(ci * chunk, chunk), :].astype(jnp.float32)
+        lsec = lse_ref[pl.ds(ci * chunk, chunk), :]
+        m, l = lsec[:, 0:1], lsec[:, 32:33]
+        s = jax.lax.dot_general(qc, k, (((1,), (1,)), ((), ())),
+                                preferred_element_type=jnp.float32) * scale + bias
+        p = jnp.exp(s - m) / l  # [chunk, block_k]
+        d_row = jnp.sum(doc * oc, axis=-1, keepdims=True)
+        dpt = jax.lax.dot_general(doc, v, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.float32)
+        if rate > 0.0:
+            keep = _dropout_keep_mask(*p.shape, ci * chunk, ki * block_k,
+                                      seed_ref[0, 0], cell, rate)
+            pt = jnp.where(keep, p, 0.0) * inv
+            dp = jnp.where(keep, dpt, 0.0) * inv
+        else:
+            pt, dp = p, dpt
+        ds = p * (dp - d_row)
+        dv = dv + jax.lax.dot_general(pt, doc, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32)
+        dk = dk + jax.lax.dot_general(ds, qc, (((0,), (0,)), ((), ())),
+                                      preferred_element_type=jnp.float32) * scale
+        return dk, dv
+
+    zero = jnp.zeros((k.shape[0], k.shape[1]), jnp.float32)
+    dk, dv = jax.lax.fori_loop(0, n_pad // chunk, body, (zero, zero))
+    dk_ref[:] = dk
+    dv_ref[:] = dv
+
+
+def _pad_flatten(x, n_pad, d_pad):
+    """[B, N, H, D] -> [B, n_pad, H*d_pad]: pad N and the head dim to aligned
+    sizes, then flatten heads into the lane axis so Pallas blocks over
+    (block_q, d_pad) windows select a head via the last-dim block index —
+    Mosaic's 8/128 block-tiling constraint is met without any [B,H,N,D]
+    transpose materializing in HBM."""
     b, n, h, d = x.shape
-    return jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0), (0, d_pad - d)))
+    x = jnp.pad(x, ((0, 0), (0, n_pad - n), (0, 0), (0, d_pad - d)))
+    return x.reshape(b, n_pad, h * d_pad)
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(5, 6))
@@ -272,60 +349,83 @@ def _flash_fwd(q, k, v, bias, seed, rate: float, block_q: int):
     scale = 1.0 / (d**0.5)
     d_pad = _round_up(d, 128)
     n_pad = _round_up(n, block_q)
-    qp, kp, vp = (_pad_nd(x, n_pad, d_pad) for x in (q, k, v))
+    qp, kp, vp = (_pad_flatten(x, n_pad, d_pad) for x in (q, k, v))
     bias_p = jnp.pad(bias, ((0, 0), (0, 0), (0, n_pad - n)), constant_values=_NEG)
     nq = n_pad // block_q
     interpret = jax.default_backend() != "tpu"
-    out = pl.pallas_call(
-        partial(_fwd_kernel, scale=scale, rate=rate, n_q_blocks=nq),
+    out, lse = pl.pallas_call(
+        partial(_fwd_kernel, scale=scale, rate=rate, block_q=block_q),
         grid=(b, h, nq),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((None, 1, n_pad), lambda bi, hi, qi: (bi, 0, 0)),
-            pl.BlockSpec((None, block_q, None, d_pad), lambda bi, hi, qi: (bi, qi, hi, 0)),
-            pl.BlockSpec((None, n_pad, None, d_pad), lambda bi, hi, qi: (bi, 0, hi, 0)),
-            pl.BlockSpec((None, n_pad, None, d_pad), lambda bi, hi, qi: (bi, 0, hi, 0)),
+            pl.BlockSpec((None, block_q, d_pad), lambda bi, hi, qi: (bi, qi, hi)),
+            pl.BlockSpec((None, n_pad, d_pad), lambda bi, hi, qi: (bi, 0, hi)),
+            pl.BlockSpec((None, n_pad, d_pad), lambda bi, hi, qi: (bi, 0, hi)),
         ],
-        out_specs=pl.BlockSpec((None, block_q, None, d_pad), lambda bi, hi, qi: (bi, qi, hi, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, n_pad, h, d_pad), q.dtype),
+        out_specs=[
+            pl.BlockSpec((None, block_q, d_pad), lambda bi, hi, qi: (bi, qi, hi)),
+            pl.BlockSpec((None, None, block_q, 128), lambda bi, hi, qi: (bi, hi, qi, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, n_pad, h * d_pad), q.dtype),
+            # Per-row f32 softmax stats: lanes 0:32 = running max m,
+            # 32:64 = normalizer l (read back by the dK/dV pass).
+            jax.ShapeDtypeStruct((b, h, n_pad, 128), jnp.float32),
+        ],
         interpret=interpret,
     )(seed, bias_p, qp, kp, vp)
-    return out[:, :n, :, :d], (q, k, v, bias, seed)
+    out = out.reshape(b, n_pad, h, d_pad)[:, :n, :, :d]
+    return out, (q, k, v, bias, seed, out, lse)
 
 
 def _flash_bwd(rate: float, block_q: int, res, dout):
-    q, k, v, bias, seed = res
+    q, k, v, bias, seed, out, lse = res
     b, n, h, d = q.shape
     scale = 1.0 / (d**0.5)
     d_pad = _round_up(d, 128)
     n_pad = _round_up(n, block_q)
-    qp, kp, vp, dop = (_pad_nd(x, n_pad, d_pad) for x in (q, k, v, dout))
+    qp, kp, vp, dop, op = (_pad_flatten(x, n_pad, d_pad) for x in (q, k, v, dout, out))
     bias_p = jnp.pad(bias, ((0, 0), (0, 0), (0, n_pad - n)), constant_values=_NEG)
     nq = n_pad // block_q
+    chunk = min(block_q, n_pad)
     interpret = jax.default_backend() != "tpu"
-    kv_spec = pl.BlockSpec((None, n_pad, None, d_pad), lambda bi, hi, qi: (bi, 0, hi, 0))
-    qblk_spec = pl.BlockSpec((None, block_q, None, d_pad), lambda bi, hi, qi: (bi, qi, hi, 0))
-    dq, dk, dv = pl.pallas_call(
-        partial(_bwd_kernel, scale=scale, rate=rate, n_q_blocks=nq),
+    smem = pl.BlockSpec(memory_space=pltpu.SMEM)
+    bias_full = pl.BlockSpec((None, 1, n_pad), lambda bi, hi, qi: (bi, 0, 0))
+    kv_full = pl.BlockSpec((None, n_pad, d_pad), lambda bi, hi, qi: (bi, 0, hi))
+    qblk = pl.BlockSpec((None, block_q, d_pad), lambda bi, hi, qi: (bi, qi, hi))
+    dq = pl.pallas_call(
+        partial(_bwd_dq_kernel, scale=scale, rate=rate, block_q=block_q, chunk=chunk),
         grid=(b, h, nq),
+        in_specs=[smem, bias_full, qblk, kv_full, kv_full, qblk, qblk],
+        out_specs=qblk,
+        out_shape=jax.ShapeDtypeStruct((b, n_pad, h * d_pad), q.dtype),
+        interpret=interpret,
+    )(seed, bias_p, qp, kp, vp, dop, op)
+    block_k = block_q
+    kblk = pl.BlockSpec((None, block_k, d_pad), lambda bi, hi, ki: (bi, ki, hi))
+    dk, dv = pl.pallas_call(
+        partial(_bwd_dkv_kernel, scale=scale, rate=rate, block_k=block_k, chunk=chunk),
+        grid=(b, h, n_pad // block_k),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((None, 1, n_pad), lambda bi, hi, qi: (bi, 0, 0)),
-            qblk_spec, kv_spec, kv_spec, qblk_spec,
+            smem,
+            pl.BlockSpec((None, 1, block_k), lambda bi, hi, ki: (bi, 0, ki)),
+            kblk, kblk,
+            pl.BlockSpec((None, n_pad, d_pad), lambda bi, hi, ki: (bi, 0, hi)),
+            pl.BlockSpec((None, n_pad, d_pad), lambda bi, hi, ki: (bi, 0, hi)),
+            pl.BlockSpec((None, n_pad, d_pad), lambda bi, hi, ki: (bi, 0, hi)),
+            pl.BlockSpec((None, None, n_pad, 128), lambda bi, hi, ki: (bi, hi, 0, 0)),
         ],
-        # dK/dV blocks revisit across the (innermost) qi steps and accumulate
-        # in VMEM; f32 accumulators, cast by the consumer.
-        out_specs=[qblk_spec, kv_spec, kv_spec],
+        out_specs=[kblk, kblk],
         out_shape=[
-            jax.ShapeDtypeStruct((b, n_pad, h, d_pad), q.dtype),
-            jax.ShapeDtypeStruct((b, n_pad, h, d_pad), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_pad, h, d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_pad, h * d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_pad, h * d_pad), jnp.float32),
         ],
         interpret=interpret,
-    )(seed, bias_p, qp, kp, vp, dop)
+    )(seed, bias_p, kp, vp, qp, dop, op, lse)
     import numpy as np
 
-    unpad = lambda x: x[:, :n, :, :d]  # noqa: E731
+    unpad = lambda x: x.reshape(b, n_pad, h, d_pad)[:, :n, :, :d]  # noqa: E731
     zero_bias = jnp.zeros_like(bias)
     zero_seed = np.zeros(seed.shape, jax.dtypes.float0)
     return (unpad(dq), unpad(dk).astype(k.dtype), unpad(dv).astype(v.dtype),
@@ -342,7 +442,7 @@ def flash_attention_train(
     key_padding_mask: jnp.ndarray | None = None,
     dropout_rate: float = 0.0,
     seed=None,
-    block_q: int = 256,
+    block_q: int = 128,
 ) -> jnp.ndarray:
     """Differentiable fused attention with probability dropout.
 
