@@ -162,3 +162,61 @@ def build_class_weights(noun_weights, verb_weights, bg_weight: float, verb_bg: b
         n[0] = n.mean()
         v = np.append(v, v.mean())
     return jnp.asarray(n, jnp.float32), jnp.asarray(v, jnp.float32)
+
+
+def hmap_criterion(criterion: dict, pixel_w):
+    """Heatmap loss factory for the legacy snao family — ``get_hmap_criterion``
+    + ``w_loss`` (runner/metrics_losses/losses.py:25-42,69-98).
+
+    Returns ``fn(preds, targets, fg_perc, bg_perc) -> scalar``. ``pixel_w``
+    reweights foreground (target > 0) vs background pixels: a scalar ``w``
+    splits as fg = 1 - 1/(1+w), bg = 1/(1+w); the string ``"reg"`` weights by
+    the per-sample (1 - fg_perc)/(1 - bg_perc) columns (the reference
+    hardcodes both percs to 0.5, base_nao_dataset.py:166-168). ``agg ==
+    "sum"`` sums over pixels then means over the batch; anything else is a
+    plain mean. The reference's "focal" slot constructs the same
+    BCEWithLogits as "ce" (losses.py:35-36) — reproduced.
+
+    ``kl_div`` matches torch ``nn.KLDivLoss``: elementwise
+    ``target * (log(target) - pred)`` with preds already log-probabilities
+    (the model applies log-softmax when ``kl_div`` is in the criterion) and
+    zero where target == 0.
+    """
+    agg = criterion.get("agg", "mean")
+
+    if criterion.get("mae", 0):
+        base = lambda p, t: jnp.abs(p - t)  # noqa: E731
+    elif criterion.get("smooth_mae", 0):
+        base = lambda p, t: smooth_l1(p - t, beta=1.0)  # noqa: E731
+    elif "mse" in criterion:
+        base = lambda p, t: (p - t) ** 2  # noqa: E731
+    elif "ce" in criterion or "focal" in criterion:
+        def base(p, t):  # BCEWithLogitsLoss(reduction="none")
+            return jnp.maximum(p, 0) - p * t + jnp.log1p(jnp.exp(-jnp.abs(p)))
+    elif "kl_div" in criterion:
+        def base(p, t):
+            return jnp.where(t > 0, t * (jnp.log(jnp.where(t > 0, t, 1.0)) - p), 0.0)
+    else:
+        base = lambda p, t: jnp.abs(p - t)  # noqa: E731
+
+    weighted = pixel_w != 1
+    if weighted and pixel_w != "reg":
+        fg_w = 1.0 - 1.0 / (1.0 + pixel_w)
+        bg_w = 1.0 / (1.0 + pixel_w)
+
+    def apply(preds, targets, fg_perc=None, bg_perc=None):
+        bs = preds.shape[0]
+        losses = base(preds.astype(jnp.float32), targets.astype(jnp.float32))
+        t = targets.reshape(bs, -1)
+        losses = losses.reshape(bs, -1)
+        if pixel_w == "reg":
+            fw = (1.0 - fg_perc)[:, None]
+            bw = (1.0 - bg_perc)[:, None]
+            losses = jnp.where(t > 0, losses * fw, losses * bw)
+        elif weighted:
+            losses = jnp.where(t > 0, losses * fg_w, losses * bg_w)
+        if agg == "sum":
+            return losses.sum(axis=-1).mean()
+        return losses.mean()
+
+    return apply
