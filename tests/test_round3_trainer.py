@@ -243,3 +243,26 @@ def test_allgather_pyobj_single_process_identity():
     obj = {"a": np.arange(3), "b": [(1, "x")]}
     out = allgather_pyobj(obj, process_count=1)
     assert len(out) == 1 and out[0]["b"] == [(1, "x")]
+
+
+def test_stop_grad_rebuild_preserves_live_state(trainer_env, tmp_path):
+    """The per-epoch frozen-prefix tape cut rebuilds the compiled steps; the
+    live TrainState (possibly restored mid-training) must survive the rebuild
+    — the cut is weightless (regression: _build_steps resets self.state for
+    the cold-init path, which nuked restored params on the first epoch of
+    any train_ep: -1 config)."""
+    import jax
+
+    tr = _make_trainer(trainer_env, str(tmp_path / "run_sg"))
+    tr.ensure_state()
+    leaf_before = np.asarray(jax.tree_util.tree_leaves(tr.state.params)[0])
+
+    from transfusion_tpu.runner.trainer import backbone_stop_grad_stages
+
+    stages = backbone_stop_grad_stages(0, tr.config["model"], -1)
+    assert stages == 5, "mini config has train_ep -1 -> fully frozen body"
+    tr._set_stop_grad_stages(stages)
+    assert tr.state is not None, "rebuild dropped the live train state"
+    np.testing.assert_array_equal(
+        leaf_before, np.asarray(jax.tree_util.tree_leaves(tr.state.params)[0]))
+    assert tr.model_cfg.detector.stop_grad_stages == 5

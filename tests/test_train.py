@@ -384,3 +384,69 @@ def test_trainable_bn_swap_updates_stats(rng):
     dets = ev(state.params, {k: v for k, v in batch.items() if k != "targets"}, (64, 64),
               state.batch_stats)
     assert np.asarray(dets["boxes"]).shape[0] == bsz
+
+
+def test_stop_grad_stages_equivalence():
+    """The frozen-prefix tape cut (DetectorConfig.stop_grad_stages,
+    ego_vis_det_ego4dv2.yml:2-3 trainable_layers 2 / train_ep -1) zeroes
+    exactly the backbone grads and leaves every other grad bit-identical —
+    i.e. it is the masked-grad freeze with the wasted backward deleted."""
+    from dataclasses import replace
+
+    from transfusion_tpu.train.step import LossConfig, init_state, make_train_step
+
+    base = _tiny_transfusion()
+    cut = type(base)(replace(base.cfg, detector=replace(base.cfg.detector, stop_grad_stages=5)))
+
+    rng = np.random.default_rng(3)
+    bsz = 2
+    batch = {
+        "image": jnp.asarray(rng.normal(0, 1, (bsz, 64, 64, 3)).astype(np.float32)),
+        "input_ids": jnp.asarray(rng.integers(0, 50, (bsz, 8)).astype(np.int32)),
+        "attention_mask": jnp.ones((bsz, 8), jnp.int32),
+        "targets": {
+            "boxes": jnp.asarray(np.tile([[10, 10, 40, 40]], (bsz, 1, 1)).astype(np.float32)),
+            "nouns": jnp.full((bsz, 1), 2),
+            "verbs": jnp.full((bsz, 1), 1),
+            "ttcs": jnp.full((bsz, 1), 0.8, jnp.float32),
+            "valid": jnp.ones((bsz, 1), bool),
+        },
+    }
+    from transfusion_tpu.train.step import compute_losses
+
+    loss_cfg = LossConfig(rpn_batch_size_per_image=16, last_noun_idx=5)
+    params = base.init(
+        {"params": jax.random.key(0), "sampling": jax.random.key(1)},
+        dict(batch, image_hw=(64, 64)), True,
+    )
+
+    def grads_of(model):
+        def loss_fn(p):
+            out = model.apply(
+                p, dict(batch, image_hw=(64, 64)), True,
+                rngs={"dropout": jax.random.key(7), "sampling": jax.random.key(8)},
+            )
+            losses, _ = compute_losses(out, batch, jax.random.key(9), loss_cfg,
+                                       jnp.ones(6), jnp.ones(4))
+            return jnp.sum(losses * jnp.asarray([1.0, 1, 1, 1, 0, 0]))
+
+        return jax.grad(loss_fn)(params)
+
+    g0, g5 = grads_of(base), grads_of(cut)
+    flat0 = jax.tree_util.tree_flatten_with_path(g0)[0]
+    flat5 = {
+        "/".join(str(getattr(q, "key", q)) for q in path): leaf
+        for path, leaf in jax.tree_util.tree_flatten_with_path(g5)[0]
+    }
+    saw_backbone = saw_other = False
+    for path, leaf in flat0:
+        name = "/".join(str(getattr(q, "key", q)) for q in path)
+        other = np.asarray(flat5[name], np.float32)
+        mine = np.asarray(leaf, np.float32)
+        if "backbone" in name:
+            assert np.all(other == 0.0), name
+            saw_backbone = saw_backbone or np.any(mine != 0)
+        else:
+            np.testing.assert_allclose(mine, other, rtol=1e-5, atol=1e-6, err_msg=name)
+            saw_other = saw_other or np.any(mine != 0)
+    assert saw_backbone and saw_other

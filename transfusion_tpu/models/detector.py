@@ -56,6 +56,12 @@ class DetectorConfig:
     bn_momentum: float = 0.1
     # Additive TPU knob: exact space-to-depth stem (see resnet.ResNet).
     s2d_stem: bool = False
+    # Frozen-prefix gradient cut (see resnet.ResNet.stop_grad_prefix):
+    # number of leading [stem, layer1..layer4] units whose backward is
+    # elided. Updates stay bit-identical to grad masking because nothing
+    # trainable is upstream of the cut; the trainer sets this per epoch from
+    # train_ep/trainable_layers (faster_rcnn_wrapper.py:135-146).
+    stop_grad_stages: int = 0
     dtype: Any = jnp.float32
 
 
@@ -75,6 +81,7 @@ class FasterRCNN(nn.Module):
                 trainable_bn=self.cfg.trainable_bn,
                 bn_momentum=self.cfg.bn_momentum,
                 s2d_stem=self.cfg.s2d_stem,
+                stop_grad_prefix=self.cfg.stop_grad_stages,
             )
         self.fpn = FPN(out_channels=self.cfg.fpn_out_channels, dtype=self.cfg.dtype)
         self.rpn_head = RPNHead(num_anchors=len(self.cfg.rpn.aspect_ratios), dtype=self.cfg.dtype)
@@ -111,11 +118,11 @@ class FasterRCNN(nn.Module):
 
         if sample:
             assert targets is not None
-            labels, reg_targets = assign_targets_to_anchors(
+            labels, matches = assign_targets_to_anchors(
                 rpn_out["anchors"], targets["boxes"], targets["valid"], self.cfg.rpn
             )
             rpn_out["labels"] = labels
-            rpn_out["reg_targets"] = reg_targets
+            rpn_out["matches"] = matches
             sampled = select_training_samples(
                 self.make_rng("sampling"), rpn_out["boxes"], rpn_out["valid"], targets, self.cfg.roi
             )

@@ -130,7 +130,11 @@ class EncoderLayer(nn.Module):
             return nn.Dense(self.dim, dtype=self.dtype, name=name)(inp).reshape(b, l, self.num_heads, head_dim)
 
         q, k, v = proj("q_proj", x), proj("k_proj", x), proj("v_proj", x)
-        if attn_mask is None and self.use_flash:
+        # Flash pays off only when the [B, H, L, L] probability tensor is
+        # big enough to be the wall: at level-1 lengths (~832) the three
+        # kernel launches + recompute cost ~18 ms/step while XLA's fused
+        # attention is a few ms (profiled), so short sequences keep XLA.
+        if attn_mask is None and self.use_flash and l >= 2048:
             from transfusion_tpu.ops.attention import flash_attention_train
 
             # Layout-native fused attention: consumes the projections'

@@ -20,6 +20,7 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 
@@ -123,6 +124,16 @@ class ResNet(nn.Module):
     # the MXU tiles far better than a 3-channel 7x7. fold_stem_to_s2d
     # converts standard stem weights exactly.
     s2d_stem: bool = False
+    # Frozen-prefix gradient cut: number of leading units [stem, layer1,
+    # layer2, layer3, layer4] whose outputs are wrapped in stop_gradient.
+    # torchvision's trainable_layers / the wrapper's train_ep freeze
+    # (faster_rcnn_wrapper.py:135-146; ego_vis_det_ego4dv2.yml:2-3 has
+    # trainable_layers 2, train_ep -1 = the body never unfreezes) is
+    # implemented downstream by grad masking — exact, but the backward still
+    # sweeps the largest-spatial convs and throws the result away. Cutting
+    # the tape at the frozen boundary produces bit-identical updates
+    # (nothing trainable sits upstream of the cut) and deletes that work.
+    stop_grad_prefix: int = 0
 
     @nn.compact
     def __call__(self, x, train: bool = False):
@@ -145,6 +156,8 @@ class ResNet(nn.Module):
             )
         h = nn.relu(h)
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        if self.stop_grad_prefix >= 1:
+            h = jax.lax.stop_gradient(h)
 
         feats = {}
         mid = 64
@@ -163,6 +176,8 @@ class ResNet(nn.Module):
                     bn_momentum=self.bn_momentum,
                     name=f"layer{stage + 1}_{b}",
                 )(h, train)
+            if stage + 1 < self.stop_grad_prefix:
+                h = jax.lax.stop_gradient(h)
             feats[str(stage)] = h
             mid *= 2
         return feats

@@ -29,7 +29,7 @@ import jax.numpy as jnp
 
 from transfusion_tpu.ops import (
     BoxCoder,
-    balanced_sample,
+    balanced_sample_idx,
     box_iou,
     clip_boxes,
     match_proposals,
@@ -157,11 +157,10 @@ def select_training_samples(key, proposals, prop_valid, targets, cfg: RoIConfig)
         ttc_l = jnp.where(has_gt, ttc_l, float(IGNORE_VERB_IDX_BG))
         noun_l = jnp.where(all_valid, noun_l, -1)
 
-        pos_mask, neg_mask = balanced_sample(k, noun_l, all_valid, s, cfg.positive_fraction)
-        sampled = pos_mask | neg_mask
-        n = all_props.shape[0]
-        order = jnp.argsort(jnp.where(sampled, jnp.arange(n), n + jnp.arange(n)), stable=True)[:s]
-        sampled_valid = sampled[order]
+        # Index-form sampling: gathers the s sampled rows directly (positives
+        # first) instead of mask + stable-argsort compaction over all
+        # proposals (saves two [P] sorts per image).
+        order, sampled_valid = balanced_sample_idx(k, noun_l, all_valid, s, cfg.positive_fraction)
 
         rois = all_props[order]
         matched_gt = boxes[clamped[order]]

@@ -151,23 +151,26 @@ def generate_proposals(
 
 
 def assign_targets_to_anchors(anchors, gt_boxes, gt_valid, cfg: RPNConfig):
-    """Per-image anchor labels/targets for the RPN loss
-    (torchvision assign_targets_to_anchors + encode).
+    """Per-anchor labels + matched-GT indices for the RPN loss
+    (torchvision assign_targets_to_anchors).
 
     anchors: [N, 4]; gt_boxes: [B, G, 4]; gt_valid: [B, G].
-    Returns labels [B, N] (1/0/-1) and regression targets [B, N, 4].
+    Returns labels [B, N] (1/0/-1) and matches [B, N] (clamped GT index).
+
+    Regression-target encoding is deliberately NOT done here: torchvision
+    encodes [B, N, 4] targets for every anchor, but the loss only reads the
+    ~256 sampled rows — and a [B*N, 4] f32 tensor wastes 31/32 of every
+    (8, 128) TPU tile on the 4-wide minor dim (~7 ms/step in the train
+    profile). ``losses.rpn_loss`` gathers the sampled anchors first and
+    encodes [B, S, 4].
     """
-    coder = BoxCoder((1.0, 1.0, 1.0, 1.0))
 
     def per_image(boxes, valid):
         iou = box_iou(boxes, anchors)  # [G, N]
         matches = match_proposals(iou, valid, cfg.fg_iou_thresh, cfg.bg_iou_thresh, allow_low_quality=True)
-        clamped = jnp.clip(matches, 0)
         labels = jnp.where(matches >= 0, 1, jnp.where(matches == -1, 0, -1))
         # Background image: no valid gt -> all negatives (torchvision special case).
         labels = jnp.where(jnp.any(valid), labels, 0)
-        matched_gt = boxes[clamped]
-        targets = coder.encode(matched_gt, anchors)
-        return labels, targets
+        return labels, jnp.clip(matches, 0)
 
     return jax.vmap(per_image)(gt_boxes, gt_valid)

@@ -10,6 +10,7 @@ from transfusion_tpu.ops.matcher import (
     BELOW_LOW_THRESHOLD,
     BETWEEN_THRESHOLDS,
     balanced_sample,
+    balanced_sample_idx,
     match_proposals,
 )
 
@@ -23,6 +24,7 @@ __all__ = [
     "batched_nms",
     "match_proposals",
     "balanced_sample",
+    "balanced_sample_idx",
     "BELOW_LOW_THRESHOLD",
     "BETWEEN_THRESHOLDS",
 ]

@@ -229,38 +229,28 @@ def _fwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
 
 
 def _bwd_dq_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
-                   dq_ref, *, scale, rate, block_q, chunk):
+                   lse_ref, dq_ref, *, scale, rate, block_q, chunk):
     """Per q-block dQ, streaming keys in `chunk`-wide slices so the live
-    temporaries are [block_q, chunk] regardless of N."""
+    temporaries are [block_q, chunk] regardless of N. Softmax stats come from
+    the forward's stored f32 (m, l) — no recompute pass. Matmuls run in the
+    INPUT dtype with f32 accumulation (bf16 hits the MXU at native rate;
+    f32 test inputs stay exact); only the softmax/scale math is f32."""
     bi, hi, qi = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     cell = bi * pl.num_programs(1) + hi
-    q = q_ref[:].astype(jnp.float32)
-    do = do_ref[:].astype(jnp.float32)
+    dt = q_ref.dtype
+    q = q_ref[:]
+    do = do_ref[:]
     # D_i = sum_d dO_id O_id = sum_j p~_ij dp~_ij (zero-padded lanes drop out).
-    d_row = jnp.sum(do * o_ref[:].astype(jnp.float32), axis=-1, keepdims=True)
+    d_row = jnp.sum(do.astype(jnp.float32) * o_ref[:].astype(jnp.float32),
+                    axis=-1, keepdims=True)
     n_pad = k_ref.shape[0]
     inv = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
-
-    # Pass 1: full-row softmax stats (chunked running max/sum — exact because
-    # the final m is applied to every chunk in pass 2).
-    def stats_body(ci, carry):
-        m_run, l_run = carry
-        kc = k_ref[pl.ds(ci * chunk, chunk), :].astype(jnp.float32)
-        bc = bias_ref[:, pl.ds(ci * chunk, chunk)]
-        s = jax.lax.dot_general(q, kc, (((1,), (1,)), ((), ())),
-                                preferred_element_type=jnp.float32) * scale + bc
-        m_new = jnp.maximum(m_run, jnp.max(s, axis=-1, keepdims=True))
-        l_run = l_run * jnp.exp(m_run - m_new) + jnp.sum(jnp.exp(s - m_new), axis=-1,
-                                                         keepdims=True)
-        return m_new, l_run
-
-    m0 = jnp.full((q.shape[0], 1), -jnp.inf, jnp.float32)
-    l0 = jnp.zeros((q.shape[0], 1), jnp.float32)
-    m, l = jax.lax.fori_loop(0, n_pad // chunk, stats_body, (m0, l0))
+    stats = lse_ref[:]  # [block_q, 128]: lanes 0:32 = m, 32:64 = l
+    m, l = stats[:, 0:1], stats[:, 32:33]
 
     def grad_body(ci, dq):
-        kc = k_ref[pl.ds(ci * chunk, chunk), :].astype(jnp.float32)
-        vc = v_ref[pl.ds(ci * chunk, chunk), :].astype(jnp.float32)
+        kc = k_ref[pl.ds(ci * chunk, chunk), :]
+        vc = v_ref[pl.ds(ci * chunk, chunk), :]
         bc = bias_ref[:, pl.ds(ci * chunk, chunk)]
         s = jax.lax.dot_general(q, kc, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale + bc
@@ -273,7 +263,7 @@ def _bwd_dq_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, do_ref, o_ref,
             dp = jnp.where(keep, dpt, 0.0) * inv
         else:
             dp = dpt
-        ds = p * (dp - d_row)
+        ds = (p * (dp - d_row)).astype(dt)
         return dq + jax.lax.dot_general(ds, kc, (((1,), (0,)), ((), ())),
                                         preferred_element_type=jnp.float32) * scale
 
@@ -288,23 +278,25 @@ def _bwd_dkv_kernel(seed_ref, bias_ref, k_ref, v_ref, q_ref, do_ref, o_ref, lse_
     probabilities via the stored f32 (m, l) stats."""
     bi, hi, ki = pl.program_id(0), pl.program_id(1), pl.program_id(2)
     cell = bi * pl.num_programs(1) + hi
-    k = k_ref[:].astype(jnp.float32)
-    v = v_ref[:].astype(jnp.float32)
+    dt = q_ref.dtype
+    k = k_ref[:]
+    v = v_ref[:]
     bias = bias_ref[:]  # [1, block_k]
     n_pad = q_ref.shape[0]
     inv = 1.0 / (1.0 - rate) if rate > 0.0 else 1.0
 
     def body(ci, carry):
         dk, dv = carry
-        qc = q_ref[pl.ds(ci * chunk, chunk), :].astype(jnp.float32)
-        doc = do_ref[pl.ds(ci * chunk, chunk), :].astype(jnp.float32)
-        oc = o_ref[pl.ds(ci * chunk, chunk), :].astype(jnp.float32)
+        qc = q_ref[pl.ds(ci * chunk, chunk), :]
+        doc = do_ref[pl.ds(ci * chunk, chunk), :]
+        oc = o_ref[pl.ds(ci * chunk, chunk), :]
         lsec = lse_ref[pl.ds(ci * chunk, chunk), :]
         m, l = lsec[:, 0:1], lsec[:, 32:33]
         s = jax.lax.dot_general(qc, k, (((1,), (1,)), ((), ())),
                                 preferred_element_type=jnp.float32) * scale + bias
         p = jnp.exp(s - m) / l  # [chunk, block_k]
-        d_row = jnp.sum(doc * oc, axis=-1, keepdims=True)
+        d_row = jnp.sum(doc.astype(jnp.float32) * oc.astype(jnp.float32),
+                        axis=-1, keepdims=True)
         dpt = jax.lax.dot_general(doc, v, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.float32)
         if rate > 0.0:
@@ -314,8 +306,8 @@ def _bwd_dkv_kernel(seed_ref, bias_ref, k_ref, v_ref, q_ref, do_ref, o_ref, lse_
             dp = jnp.where(keep, dpt, 0.0) * inv
         else:
             pt, dp = p, dpt
-        ds = p * (dp - d_row)
-        dv = dv + jax.lax.dot_general(pt, doc, (((0,), (0,)), ((), ())),
+        ds = (p * (dp - d_row)).astype(dt)
+        dv = dv + jax.lax.dot_general(pt.astype(dt), doc, (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32)
         dk = dk + jax.lax.dot_general(ds, qc, (((0,), (0,)), ((), ())),
                                       preferred_element_type=jnp.float32) * scale
@@ -388,20 +380,35 @@ def _flash_bwd(rate: float, block_q: int, res, dout):
     qp, kp, vp, dop, op = (_pad_flatten(x, n_pad, d_pad) for x in (q, k, v, dout, out))
     bias_p = jnp.pad(bias, ((0, 0), (0, 0), (0, n_pad - n)), constant_values=_NEG)
     nq = n_pad // block_q
-    chunk = min(block_q, n_pad)
+    # Stream the opposing sequence axis in the LARGEST chunk that keeps the
+    # kernel VMEM-bounded: small (block_q-sized) chunks turn the backward
+    # into many [128, 128]-output matmuls that leave the MXU idle between
+    # loop iterations (measured 64-68 TFLOP/s); wide chunks keep it
+    # streaming. n_pad is a block_q multiple, so divide by the smallest m
+    # that brings the chunk to <=1024 columns (chunk 1600 blows the 16 MB
+    # scoped-VMEM stack in the dK/dV pass: 18.1M measured; 1024 fits with
+    # resident K/V + f32 temps at the MAX_NUM_PATCHES cap).
+    chunk = n_pad
+    m = 1
+    while chunk > 1024:
+        m += 1
+        while n_pad % m or (n_pad // m) % 8:
+            m += 1
+        chunk = n_pad // m
     interpret = jax.default_backend() != "tpu"
     smem = pl.BlockSpec(memory_space=pltpu.SMEM)
     bias_full = pl.BlockSpec((None, 1, n_pad), lambda bi, hi, qi: (bi, 0, 0))
     kv_full = pl.BlockSpec((None, n_pad, d_pad), lambda bi, hi, qi: (bi, 0, hi))
     qblk = pl.BlockSpec((None, block_q, d_pad), lambda bi, hi, qi: (bi, qi, hi))
+    lse_qblk = pl.BlockSpec((None, None, block_q, 128), lambda bi, hi, qi: (bi, hi, qi, 0))
     dq = pl.pallas_call(
         partial(_bwd_dq_kernel, scale=scale, rate=rate, block_q=block_q, chunk=chunk),
         grid=(b, h, nq),
-        in_specs=[smem, bias_full, qblk, kv_full, kv_full, qblk, qblk],
+        in_specs=[smem, bias_full, qblk, kv_full, kv_full, qblk, qblk, lse_qblk],
         out_specs=qblk,
         out_shape=jax.ShapeDtypeStruct((b, n_pad, h * d_pad), q.dtype),
         interpret=interpret,
-    )(seed, bias_p, qp, kp, vp, dop, op)
+    )(seed, bias_p, qp, kp, vp, dop, op, lse)
     block_k = block_q
     kblk = pl.BlockSpec((None, block_k, d_pad), lambda bi, hi, ki: (bi, ki, hi))
     dk, dv = pl.pallas_call(

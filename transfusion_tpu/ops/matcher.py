@@ -72,6 +72,21 @@ def balanced_sample(
     Returns:
       (pos_mask, neg_mask): bool [N] each.
     """
+    n = labels.shape[0]
+    pos_take, idx_p, neg_take, idx_n = _sample_parts(key, labels, valid, batch_size, positive_fraction)
+    pos_mask = jnp.zeros((n,), bool).at[idx_p].set(pos_take, mode="drop")
+    neg_mask = jnp.zeros((n,), bool).at[idx_n].set(neg_take, mode="drop")
+    return pos_mask, neg_mask
+
+
+def _sample_parts(key, labels, valid, batch_size: int, positive_fraction: float):
+    """Shared core: random positive/negative index selection WITHOUT a full
+    sort. A rank over 196k RPN anchors via double argsort costs four
+    [B, 196k] device sorts per step (~13 ms in the train profile);
+    ``approx_max_k`` over random keys lowers to the TPU PartialReduce op and
+    picks a uniformly-random subset in distribution (any exact-k selection on
+    iid uniform keys is exchangeable over indices). ``recall_target=1.0``
+    keeps the selected COUNTS exact."""
     is_pos = (labels >= 1) & valid
     is_neg = (labels == 0) & valid
 
@@ -82,11 +97,40 @@ def balanced_sample(
     kp, kn = jax.random.split(key)
     n = labels.shape[0]
 
-    def rank_within(mask, k):
+    def pick(mask, k, kmax, count):
         r = jax.random.uniform(k, (n,))
-        keys = jnp.where(mask, r, jnp.inf)
-        return jnp.argsort(jnp.argsort(keys))
+        keys = jnp.where(mask, r, -1.0)
+        kk = min(kmax, n)
+        vals, idx = jax.lax.approx_max_k(keys, kk, recall_target=1.0)
+        take = (jnp.arange(kk) < count) & (vals >= 0.0)
+        return take, idx
 
-    pos_mask = is_pos & (rank_within(is_pos, kp) < num_pos)
-    neg_mask = is_neg & (rank_within(is_neg, kn) < num_neg)
-    return pos_mask, neg_mask
+    pos_take, idx_p = pick(is_pos, kp, num_pos_target, num_pos)
+    neg_take, idx_n = pick(is_neg, kn, batch_size, num_neg)
+    return pos_take, idx_p, neg_take, idx_n
+
+
+def balanced_sample_idx(
+    key: jax.Array,
+    labels: jnp.ndarray,
+    valid: jnp.ndarray,
+    batch_size: int,
+    positive_fraction: float,
+):
+    """Index-form sampler: returns ``(idx, sampled_valid)`` with shape
+    [batch_size] each — positives first, then negatives, padding rows False.
+
+    Lets the caller GATHER the sampled rows and compute targets/losses on
+    [batch_size] rows instead of masking dense per-anchor tensors (the RPN
+    path's [B, A, 4] encode suffers a 32x tile-packing waste on TPU for the
+    4-wide minor dim)."""
+    pos_take, idx_p, neg_take, idx_n = _sample_parts(key, labels, valid, batch_size, positive_fraction)
+    num_pos = jnp.sum(pos_take)
+    npt, bs = idx_p.shape[0], batch_size
+    j = jnp.arange(bs)
+    from_pos = j < num_pos
+    pos_src = jnp.clip(j, 0, npt - 1)
+    neg_src = jnp.clip(j - num_pos, 0, idx_n.shape[0] - 1)
+    idx = jnp.where(from_pos, idx_p[pos_src], idx_n[neg_src])
+    sampled_valid = from_pos | ((j - num_pos) < jnp.sum(neg_take))
+    return idx, sampled_valid

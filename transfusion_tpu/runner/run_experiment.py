@@ -73,12 +73,24 @@ def main(argv=None):
     args = get_parser().parse_args(argv)
     logging.basicConfig(level=logging.INFO, format="%(asctime)s %(name)s %(message)s")
 
+    import jax
+
+    if os.environ.get("JAX_PLATFORMS"):
+        # Honor JAX_PLATFORMS even when a site hook pre-imported jax with a
+        # hardware platform already registered (env vars are only read at
+        # import time): a user running CPU-only must never block on — or
+        # claim — an attached accelerator.
+        jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
+    if os.environ.get("TRANSFUSION_RNG", "rbg") == "rbg":
+        # TPU hardware RNG for dropout/sampling keys (~5 ms/step cheaper than
+        # threefry mask fusions at flagship shapes; same distributions).
+        jax.config.update("jax_default_prng_impl", "rbg")
+
     if args.distributed or os.environ.get("TRANSFUSION_DISTRIBUTED") == "1":
         # Multi-host entry: one process per host over DCN, auto-detected
         # coordinator on TPU pods (the jax-native replacement for the
         # reference's PL DDP process group, run_experiment.py:452-453).
-        import jax
-
         jax.distributed.initialize()
 
     from transfusion_tpu.config import derive_config, load_config

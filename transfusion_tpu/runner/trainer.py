@@ -111,6 +111,27 @@ def dataset_root(config: dict) -> str:
     return os.path.join(os.path.expandvars("$DATA"), sub)
 
 
+def backbone_stop_grad_stages(epoch: int, model_cfg: dict,
+                              freeze_backbone_at_epoch: int = -1) -> int:
+    """Static frozen-prefix depth for the epoch's train step (ResNet trunks).
+
+    Mirrors the freeze rules of :func:`unfreeze_multipliers` for the trunk
+    prefix only: before ``train_ep`` (or with ``train_ep == -1``, the v2
+    flagship, ego_vis_det_ego4dv2.yml:3) the whole body [stem..layer4] is
+    frozen; afterwards the deepest ``trainable_layers`` stages train
+    (faster_rcnn_wrapper.py:135-146). ``freeze_backbone_at_epoch`` re-freezes
+    everything (ego_nao_trainer.py:265-272)."""
+    if str(model_cfg.get("type", "res50")).startswith("mobilenet"):
+        return 0
+    train_ep = model_cfg.get("train_ep", -1)
+    backbone_on = train_ep != -1 and epoch >= train_ep
+    if freeze_backbone_at_epoch != -1 and epoch >= freeze_backbone_at_epoch:
+        backbone_on = False
+    if not backbone_on:
+        return 5
+    return max(5 - min(int(model_cfg.get("trainable_layers", 0)), 5), 0)
+
+
 def unfreeze_multipliers(params, epoch: int, model_cfg: dict, narr_train_ep: int,
                          narr_finetune_layers: int, num_bert_layers: int,
                          freeze_backbone_at: int = -1, text_encoder: str = "sbert"):
@@ -362,6 +383,28 @@ class EgoNaoTrainer:
             self.tokenizer.type_names = type_names
 
     # --------------------------------------------------------------- model
+    def _set_stop_grad_stages(self, p: int):
+        """Apply the epoch's frozen-prefix tape cut (see
+        DetectorConfig.stop_grad_stages). Grad masking via
+        unfreeze_multipliers stays authoritative — the cut only removes the
+        already-masked backbone backward work — so updates are unchanged.
+        Rebuilds the compiled steps when the prefix changes (at most once per
+        train_ep / freeze_backbone_at_epoch trigger)."""
+        if self.model_cfg.detector.stop_grad_stages == p:
+            return
+        from dataclasses import replace
+
+        self.model_cfg = replace(
+            self.model_cfg, detector=replace(self.model_cfg.detector, stop_grad_stages=p)
+        )
+        self.model = TransFusion(self.model_cfg)
+        # The cut changes no parameter (stop_gradient is weightless), so the
+        # live TrainState — possibly restored or mid-training — survives the
+        # step rebuild (_build_steps resets self.state for the cold path).
+        state = self.state
+        self._build_steps()
+        self.state = state
+
     def _build_model(self):
         # precision 16 -> bf16 compute (the TPU-stable replacement for the
         # reference's NaN-prone fp16, README.md:62); 32 -> f32.
@@ -544,6 +587,8 @@ class EgoNaoTrainer:
         return shard_batch(self.mesh, jax.tree.map(prep, model_batch))
 
     def train_epoch(self, epoch: int) -> dict:
+        self._set_stop_grad_stages(backbone_stop_grad_stages(
+            epoch, self.config["model"], self.run.get("freeze_backbone_at_epoch", -1)))
         self.ensure_state()
         loader = DataLoader(
             self.train_ds, self.train_bs, tokenizer=self.tokenizer, training=True,

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 
 from transfusion_tpu.models.roi_heads import IGNORE_VERB_IDX_BG
-from transfusion_tpu.ops import balanced_sample
+from transfusion_tpu.ops import BoxCoder, balanced_sample_idx
 
 
 def smooth_l1(x: jnp.ndarray, beta: float) -> jnp.ndarray:
@@ -45,30 +45,43 @@ def box_loss(box_regression, noun_labels, reg_targets):
     return total / count
 
 
-def rpn_loss(key, objectness, pred_deltas, labels, reg_targets, batch_size_per_image, positive_fraction=0.5):
+def rpn_loss(key, objectness, pred_deltas, labels, matches, anchors, gt_boxes,
+             batch_size_per_image, positive_fraction=0.5):
     """torchvision RPN compute_loss with the fixed per-image sampling budget
     (config rpn_batch_size_per_image, ``ego_vis_det_ego4dv2.yml:35``).
 
     objectness [B, A], pred_deltas [B, A, 4], labels [B, A] in {1, 0, -1},
-    reg_targets [B, A, 4]. Returns (objectness_loss, box_loss).
+    matches [B, A] clamped GT index, anchors [A, 4], gt_boxes [B, G, 4].
+    Returns (objectness_loss, box_loss).
+
+    Index-form: samples S = batch_size_per_image anchors per image and
+    gathers/encodes only those rows, instead of torchvision's dense
+    [B, A, 4] encode-everything-then-mask (see assign_targets_to_anchors).
     """
+    bsz, s = labels.shape[0], batch_size_per_image
 
-    def per_image(k, lab):
-        return balanced_sample(k, lab, jnp.ones_like(lab, dtype=bool), batch_size_per_image, positive_fraction)
+    def per_image(k, lab, match, deltas, obj, gtb):
+        idx, sampled_valid = balanced_sample_idx(
+            k, lab, jnp.ones_like(lab, dtype=bool), s, positive_fraction)
+        lab_s = lab[idx]
+        pos = sampled_valid & (lab_s > 0)
+        n_sampled = jnp.sum(sampled_valid)
 
-    keys = jax.random.split(key, labels.shape[0])
-    pos_mask, neg_mask = jax.vmap(per_image)(keys, labels)
-    sampled = pos_mask | neg_mask
-    n_sampled = jnp.maximum(jnp.sum(sampled), 1)
+        matched_gt = gtb[match[idx]]
+        reg_targets = BoxCoder((1.0, 1.0, 1.0, 1.0)).encode(matched_gt, anchors[idx])
+        box = smooth_l1(deltas[idx] - reg_targets, beta=1.0 / 9.0).sum(-1)
+        box_total = jnp.sum(jnp.where(pos, box, 0.0))
 
-    box = smooth_l1(pred_deltas - reg_targets, beta=1.0 / 9.0).sum(-1)
-    box_total = jnp.sum(jnp.where(pos_mask, box, 0.0)) / n_sampled
+        logits = obj[idx]
+        targets = (lab_s > 0).astype(logits.dtype)
+        bce = jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
+        obj_total = jnp.sum(jnp.where(sampled_valid, bce, 0.0))
+        return obj_total, box_total, n_sampled
 
-    logits = objectness
-    targets = (labels > 0).astype(logits.dtype)
-    bce = jnp.maximum(logits, 0) - logits * targets + jnp.log1p(jnp.exp(-jnp.abs(logits)))
-    obj_total = jnp.sum(jnp.where(sampled, bce, 0.0)) / n_sampled
-    return obj_total, box_total
+    keys = jax.random.split(key, bsz)
+    obj_t, box_t, n_s = jax.vmap(per_image)(keys, labels, matches, pred_deltas, objectness, gt_boxes)
+    denom = jnp.maximum(jnp.sum(n_s), 1)
+    return jnp.sum(obj_t) / denom, jnp.sum(box_t) / denom
 
 
 def weighted_cross_entropy(logits, targets, weights, valid):

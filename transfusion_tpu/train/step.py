@@ -69,7 +69,9 @@ def compute_losses(outputs, batch, rng, loss_cfg: LossConfig, noun_w, verb_w):
             prop["objectness"],
             prop["pred_bbox_deltas"],
             prop["labels"],
-            prop["reg_targets"],
+            prop["matches"],
+            prop["anchors"],
+            batch["targets"]["boxes"],
             loss_cfg.rpn_batch_size_per_image,
         )
     noun_l = L.noun_loss(roi["class_logits"], nouns, noun_w) if loss_cfg.noun_on else zero
