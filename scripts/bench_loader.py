@@ -68,7 +68,7 @@ def main():
         })
     annots = pd.DataFrame(rows).set_index("uid")
     aug = AugConfig(
-        resize_spec=(tuple(args.bucket),), crop_spec=(0.9, 0.9), flip=True,
+        resize_spec=((args.bucket[0],), (args.bucket[1],)), crop_spec=(0.9, 0.9), flip=True,
         channel_order="BGR", brightness=0.15, contrast=0.1, hue=0.05,
         normalization="ego4d_baseline",
     )

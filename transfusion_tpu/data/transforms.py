@@ -138,9 +138,22 @@ def color_jitter(rng: np.random.Generator, img01: np.ndarray, brightness, contra
     return img01
 
 
+_NORM_F32 = {}
+
+
+def _norm_scale_bias(normalization: str):
+    """(1/std, -mean/std) as f32 — a float64 mean/std broadcast would upcast
+    the whole frame to f64 (measured 71 of 132 ms/item at 1080p eval)."""
+    if normalization not in _NORM_F32:
+        mean, std = NORM_TABLE[normalization]
+        _NORM_F32[normalization] = (
+            (1.0 / std).astype(np.float32), (-mean / std).astype(np.float32))
+    return _NORM_F32[normalization]
+
+
 def normalize(img01: np.ndarray, normalization: str) -> np.ndarray:
-    mean, std = NORM_TABLE[normalization]
-    return ((img01 - mean) / std).astype(np.float32)
+    scale, bias = _norm_scale_bias(normalization)
+    return img01.astype(np.float32, copy=False) * scale + bias
 
 
 def resize_with_boxes(img: np.ndarray, boxes: np.ndarray, target_hw: tuple[int, int]):
@@ -171,9 +184,13 @@ def transform_example(
         if cfg.flip and rng.random() < 0.5:
             img, boxes = horizontal_flip(img, boxes)
     img = channel_permute(img, "RGB", cfg.channel_order)
-    img01 = img.astype(np.float32) / 255.0
     if training:
+        img01 = img.astype(np.float32) / 255.0
         img01 = color_jitter(rng, img01, cfg.brightness, cfg.contrast, cfg.saturation, cfg.hue)
-    img01 = normalize(img01, cfg.normalization)
+        img01 = normalize(img01, cfg.normalization)
+    else:
+        # Fused u8 -> normalized f32 (one pass instead of /255 then affine).
+        scale, bias = _norm_scale_bias(cfg.normalization)
+        img01 = img.astype(np.float32) * (scale / 255.0) + bias
     img01, boxes = resize_with_boxes(img01, boxes, bucket)
     return img01, boxes.astype(np.float32)
