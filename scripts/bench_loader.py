@@ -42,6 +42,7 @@ def main():
     ap.add_argument("--src-hw", type=int, nargs=2, default=(1080, 1440))
     ap.add_argument("--bucket", type=int, nargs=2, default=(768, 1024))
     ap.add_argument("--workers", type=int, default=4)
+    ap.add_argument("--worker-type", default="thread", choices=["thread", "process"])
     ap.add_argument("--train", action="store_true", help="training augs + shuffling")
     ap.add_argument("--root", default="/tmp/loader_bench")
     args = ap.parse_args()
@@ -81,6 +82,7 @@ def main():
     loader = DataLoader(
         ds, args.batch, tokenizer=hash_vocab_tokenizer(max_length=64),
         training=args.train, num_workers=args.workers, drop_last=False,
+        worker_type=args.worker_type,
     )
 
     # Warm one batch (thread spawn, page cache), then measure a full pass.
@@ -106,6 +108,7 @@ def main():
         "src_hw": list(args.src_hw),
         "mode": "train" if args.train else "eval",
         "workers": args.workers,
+        "worker_type": args.worker_type,
         "host_cores": ncores,
         "frames_per_sec_per_core": round(fps / min(args.workers, ncores), 2),
         "s_per_batch": round(dt / max(n_batches, 1), 3),

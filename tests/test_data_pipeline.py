@@ -276,3 +276,37 @@ def test_merged_nao_dataset(annots, ego_fixture):
     assert ex_b0["id"] == direct["id"]
     np.testing.assert_array_equal(ex_b0["nouns"], direct["nouns"])
     assert merged.num_nouns == len(merged.noun_mapping) + 1
+
+
+def test_process_pool_loader_matches_threads(annots, ego_fixture):
+    """worker_type='process' (GIL-free decode for val_bs-224-class hosts)
+    must produce batches identical to the thread pool: same seeds, same
+    bucket draws, same collated tensors."""
+    split = load_split(annots, {"subset": 0})
+    train_df, _, _ = apply_split(annots, split)
+    nmap = generated_label_mapping(annots["all_nouns"].explode())
+    vmap = generated_label_mapping(annots["all_verbs"].explode())
+    aug = AugConfig(resize_spec=((64,), (64,)))
+    ds = EgoNaoDataset(
+        annots=train_df, frames_dir=ego_fixture["frames_dir"],
+        noun_mapping=nmap, verb_mapping=vmap, aug=aug,
+        narration_lookup=build_narration_lookup(annots, "current"), uid_col="video_id",
+    )
+    tok = hash_vocab_tokenizer(vocab_size=2000, max_length=16)
+
+    def batches(worker_type):
+        loader = DataLoader(ds, batch_size=4, tokenizer=tok, training=True,
+                            num_workers=2, lang_max_length=16, seed=11,
+                            worker_type=worker_type)
+        out = list(loader)
+        loader.close()
+        return out
+
+    bt, bp = batches("thread"), batches("process")
+    assert len(bt) == len(bp) > 0
+    for a, b in zip(bt, bp):
+        assert a["image_hw"] == b["image_hw"]
+        for k in ("image", "input_ids", "attention_mask"):
+            np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]), err_msg=k)
+        np.testing.assert_array_equal(
+            np.asarray(a["targets"]["boxes"]), np.asarray(b["targets"]["boxes"]))
