@@ -450,3 +450,35 @@ def test_stop_grad_stages_equivalence():
             np.testing.assert_allclose(mine, other, rtol=1e-5, atol=1e-6, err_msg=name)
             saw_other = saw_other or np.any(mine != 0)
     assert saw_backbone and saw_other
+
+
+def test_grad_accumulation_multisteps():
+    """accumulate_grad_batches k (the v2 flagship trains with accumulate 2,
+    ego_vis_det_ego4dv2.yml run block): params move only every k micro-steps,
+    and the applied update equals one step on the MEAN of the k grads
+    (optax.MultiSteps semantics = torch Lightning accumulate_grad_batches)."""
+    import optax
+
+    from transfusion_tpu.train.optim import make_optimizer
+
+    params = {"w": jnp.ones((4,)) * 0.5}
+    g1 = {"w": jnp.asarray([1.0, -2.0, 0.5, 3.0])}
+    g2 = {"w": jnp.asarray([-1.0, 4.0, 0.5, -3.0])}
+
+    tx_acc, _ = make_optimizer({"name": "sgd", "lr": 1e-2, "momentum": 0.0},
+                               None, steps_per_epoch=10, accumulate=2)
+    st = tx_acc.init(params)
+    up1, st = tx_acc.update(g1, st, params)
+    mid = optax.apply_updates(params, up1)
+    np.testing.assert_array_equal(np.asarray(mid["w"]), np.asarray(params["w"]))
+
+    up2, st = tx_acc.update(g2, st, mid)
+    out = optax.apply_updates(mid, up2)
+
+    tx_ref, _ = make_optimizer({"name": "sgd", "lr": 1e-2, "momentum": 0.0},
+                               None, steps_per_epoch=10, accumulate=1)
+    str_ = tx_ref.init(params)
+    gm = jax.tree.map(lambda a, b: (a + b) / 2.0, g1, g2)
+    upr, _ = tx_ref.update(gm, str_, params)
+    ref = optax.apply_updates(params, upr)
+    np.testing.assert_allclose(np.asarray(out["w"]), np.asarray(ref["w"]), rtol=1e-6)

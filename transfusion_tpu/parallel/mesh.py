@@ -116,17 +116,40 @@ def opt_state_shardings(mesh: Mesh, tx_init, params, p_shardings):
     return jax.tree_util.tree_map_with_path(assign, abstract)
 
 
-def param_shardings(mesh: Mesh, params):
+def param_shardings(mesh: Mesh, params, fsdp: bool = False):
     """NamedSharding tree for params: replicated on 'data'; the rule above
-    over 'model' when the axis is >1."""
+    over 'model' when the axis is >1.
+
+    ``fsdp=True`` additionally shards every large parameter over the 'data'
+    axis (ZeRO-3 style): the stored params + optimizer moments shrink by the
+    data-axis size, and under jit XLA inserts the all-gather before each use
+    and a reduce-scatter for the weight gradient — the TPU-native form of
+    fully-sharded data parallelism (no wrapper module, just shardings). The
+    shard dim is the largest dim divisible by the axis size that is NOT
+    already taken by the 'model' rule."""
     model_n = mesh.shape["model"]
+    data_n = mesh.shape["data"]
+    # Small params stay replicated: an all-gather of a [C]-bias costs more in
+    # collective latency than the bytes saved.
+    fsdp_min_size = 2 ** 16
 
     def assign(path, leaf):
+        spec = None
         if model_n > 1:
-            path_str = "/".join(str(getattr(p, "key", p)) for p in path)
-            spec = _is_model_shardable(path_str, leaf.shape)
-            if spec is not None and leaf.shape[-1] % model_n == 0:
-                return NamedSharding(mesh, spec)
+            path_str = _path_str(path)
+            mspec = _is_model_shardable(path_str, leaf.shape)
+            if mspec is not None and leaf.shape[-1] % model_n == 0:
+                spec = list(mspec)
+        if fsdp and data_n > 1 and int(np.prod(leaf.shape)) >= fsdp_min_size:
+            axes = spec if spec is not None else [None] * len(leaf.shape)
+            cands = [d for d in range(len(leaf.shape))
+                     if axes[d] is None and leaf.shape[d] % data_n == 0]
+            if cands:
+                d = max(cands, key=lambda i: leaf.shape[i])
+                axes[d] = "data"
+                spec = axes
+        if spec is not None:
+            return NamedSharding(mesh, P(*spec))
         return NamedSharding(mesh, P())
 
     return jax.tree_util.tree_map_with_path(assign, params)

@@ -37,6 +37,10 @@ def get_parser() -> argparse.ArgumentParser:
                    help="output directory (default: $RUNS/<experiment>/<timestamp>)")
     p.add_argument("--mesh-model", type=int, default=1,
                    help="model-parallel axis size (data axis uses the rest)")
+    p.add_argument("--mesh-fsdp", action="store_true", default=False,
+                   help="ZeRO-3-style fully-sharded data parallelism: large "
+                        "params + optimizer moments shard over the data axis "
+                        "(XLA all-gathers on use, reduce-scatters grads)")
     p.add_argument("--do-not-log-checkpoints", action="store_true", default=False,
                    help="skip uploading per-epoch checkpoint artifacts to wandb")
     p.add_argument("--distributed", action="store_true", default=False,
@@ -121,7 +125,8 @@ def main(argv=None):
         art.add_file(os.path.join(run_dir, "config.json"))
         wb.log_artifact(art)
     mesh = make_mesh(model=args.mesh_model)
-    trainer = EgoNaoTrainer(config, run_dir, debug=config["debug"], mesh=mesh)
+    trainer = EgoNaoTrainer(config, run_dir, debug=config["debug"], mesh=mesh,
+                            fsdp=args.mesh_fsdp)
 
     # Local path, or wandb id[:vN] / URL artifact download
     # (run_experiment.py:188-253).

@@ -213,7 +213,8 @@ class EvalResult:
 
 
 class EgoNaoTrainer:
-    def __init__(self, config: dict, run_dir: str, debug: bool = False, mesh=None, seed=None):
+    def __init__(self, config: dict, run_dir: str, debug: bool = False, mesh=None, seed=None,
+                 fsdp: bool = False):
         self.config = config
         self.run = config["run"]
         self.run_dir = run_dir
@@ -221,6 +222,9 @@ class EgoNaoTrainer:
         self.debug = debug
         self.seed = seed if seed is not None else self.run.get("seed", 42)
         self.mesh = mesh if mesh is not None else make_mesh(model=1)
+        # ZeRO-3-style fully-sharded data parallelism: large params + moments
+        # shard over the data axis (see parallel.mesh.param_shardings).
+        self.fsdp = fsdp or self.run.get("fsdp", False)
 
         self._build_data()
         self._build_model()
@@ -509,7 +513,7 @@ class EgoNaoTrainer:
             # 'model'; re-initializing the optimizer on the placed params
             # propagates the same shardings into the moments, so the train
             # step is partitioned end-to-end (SURVEY §2.6).
-            p_sh = param_shardings(self.mesh, state.params)
+            p_sh = param_shardings(self.mesh, state.params, fsdp=self.fsdp)
             params = jax.device_put(state.params, p_sh)
             opt_state = jax.jit(
                 self.tx.init,
