@@ -116,7 +116,7 @@ def opt_state_shardings(mesh: Mesh, tx_init, params, p_shardings):
     return jax.tree_util.tree_map_with_path(assign, abstract)
 
 
-def param_shardings(mesh: Mesh, params, fsdp: bool = False):
+def param_shardings(mesh: Mesh, params, fsdp: bool = False, fsdp_min_size: int = 2 ** 16):
     """NamedSharding tree for params: replicated on 'data'; the rule above
     over 'model' when the axis is >1.
 
@@ -129,9 +129,8 @@ def param_shardings(mesh: Mesh, params, fsdp: bool = False):
     already taken by the 'model' rule."""
     model_n = mesh.shape["model"]
     data_n = mesh.shape["data"]
-    # Small params stay replicated: an all-gather of a [C]-bias costs more in
-    # collective latency than the bytes saved.
-    fsdp_min_size = 2 ** 16
+    # Small params (< fsdp_min_size elements) stay replicated: an all-gather
+    # of a [C]-bias costs more in collective latency than the bytes saved.
 
     def assign(path, leaf):
         spec = None
