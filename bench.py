@@ -309,6 +309,18 @@ def main_train():
     state, loss = train_scalar(state, batch, jnp.float32(0.0))
     float(loss)
     float(null_program(jnp.float32(0.0)))
+    # MFU inputs: measured step FLOPs from XLA cost analysis (the frozen-
+    # prefix tape cut means fwd+bwd != 3x fwd here — measure, don't assume).
+    train_flops_per_frame = None
+    try:
+        cost = train_scalar.lower(state, batch, jnp.float32(0.0)).compile().cost_analysis()
+        cost = cost[0] if isinstance(cost, (list, tuple)) else cost
+        if cost and "flops" in cost:
+            train_flops_per_frame = cost["flops"] / BATCH
+            print(f"bench diag: train-step FLOPs = {train_flops_per_frame / 1e12:.3f} "
+                  f"TFLOP/frame", file=sys.stderr)
+    except Exception as e:
+        print(f"bench diag: cost analysis unavailable ({e})", file=sys.stderr)
     rtts = []
     for _ in range(5):
         t0 = time.perf_counter()
@@ -324,6 +336,11 @@ def main_train():
         times.append(time.perf_counter() - t0)
     dt = min(times) - rtt
     fps = BATCH / max(dt, 1e-9)
+    if train_flops_per_frame:
+        # v5e bf16 peak: 394 TFLOP/s.
+        mfu = fps * train_flops_per_frame / 394e12
+        print(f"bench diag: MFU = {100 * mfu:.1f}% of v5e bf16 peak "
+              f"({fps * train_flops_per_frame / 1e12:.1f} TF/s)", file=sys.stderr)
     print(
         json.dumps(
             {

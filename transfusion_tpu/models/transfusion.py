@@ -539,8 +539,11 @@ def build_transfusion_config(
         replace_fpn_features=fusion_cfg.get("replace_fpn_features", True),
         share_encoders=bool(fusion_cfg.get("share_encoders", False)),
         # Additive knob (not in the reference schema): route fusion attention
-        # through the Pallas flash kernel.
-        use_flash_attention=bool(fargs.get("use_flash_attention", False)),
+        # through the Pallas flash kernel. Default ON: at the round-3 lever
+        # stack it wins training 34.09 vs 30.46 f/s/chip (B8 flagship, v5e)
+        # and is neutral at eval (63.43 vs 63.55); sequences < 2048 stay on
+        # XLA's fused attention regardless (models/fusion.py gate).
+        use_flash_attention=bool(fargs.get("use_flash_attention", True)),
     )
     return TransFusionConfig(
         detector=det,

@@ -387,12 +387,16 @@ def _flash_bwd(rate: float, block_q: int, res, dout):
     # streaming. n_pad is a block_q multiple, so divide by the smallest m
     # that brings the chunk to <=1024 columns (chunk 1600 blows the 16 MB
     # scoped-VMEM stack in the dK/dV pass: 18.1M measured; 1024 fits with
-    # resident K/V + f32 temps at the MAX_NUM_PATCHES cap).
+    # resident K/V + f32 temps at the MAX_NUM_PATCHES cap). The chunk must
+    # be a multiple of 128: both backward kernels take chunk-wide dynamic
+    # slices of the bias row along the LANE axis (bias_ref[:, ds(ci*chunk,
+    # chunk)]), and Mosaic requires lane-dim slice offsets provably
+    # 128-aligned (real-TPU compile rejects chunk 800 at n_pad 3200).
     chunk = n_pad
     m = 1
     while chunk > 1024:
         m += 1
-        while n_pad % m or (n_pad // m) % 8:
+        while n_pad % m or (n_pad // m) % 128:
             m += 1
         chunk = n_pad // m
     interpret = jax.default_backend() != "tpu"
