@@ -249,6 +249,10 @@ run_experiment.main(["--config", config, "--run-dir", run_dir, "--epochs", "1"])
 run_experiment.main([
     "--config", config, "--run-dir", run_dir + "_eval", "--run-val",
     "--resume-from", run_dir + "/checkpoints/epoch_0000",
+    # --devices: restrict to the first 4 of the 8 virtual devices (the
+    # reference's --gpu analog); --skip-ssl-verification: accepted + applied
+    # (reference run_experiment.py:283,307-310).
+    "--devices", "4", "--skip-ssl-verification",
 ])
 """
 

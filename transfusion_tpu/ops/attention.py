@@ -48,6 +48,23 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _train_padded_len(n: int, block_q: int) -> int:
+    """Padded sequence length for the train kernels: a block_q multiple, and
+    additionally a multiple of 128 whenever the backward would have to
+    STREAM the opposing axis (n_pad > 1024) — the streamed chunk divides
+    n_pad and must be 128-aligned because both backward kernels slice the
+    bias row along the lane axis (Mosaic requires provably 128-aligned
+    lane-dim offsets; real-TPU compile rejects e.g. chunk 800). For
+    n_pad <= 1024 the chunk is the whole row (offset 0), so any block_q
+    works (CPU tests use 32)."""
+    import math
+
+    n_pad = _round_up(n, block_q)
+    if n_pad > 1024:
+        n_pad = _round_up(n_pad, block_q * 128 // math.gcd(block_q, 128))
+    return n_pad
+
+
 @partial(jax.jit, static_argnames=("block_q", "interpret"))
 def flash_self_attention(
     q: jnp.ndarray,
@@ -315,8 +332,10 @@ def _bwd_dkv_kernel(seed_ref, bias_ref, k_ref, v_ref, q_ref, do_ref, o_ref, lse_
 
     zero = jnp.zeros((k.shape[0], k.shape[1]), jnp.float32)
     dk, dv = jax.lax.fori_loop(0, n_pad // chunk, body, (zero, zero))
-    dk_ref[:] = dk
-    dv_ref[:] = dv
+    # Accumulate in f32, store in the model dtype: writing bf16 halves the
+    # dK/dV HBM write traffic (and the matching convert outside the kernel).
+    dk_ref[:] = dk.astype(dk_ref.dtype)
+    dv_ref[:] = dv.astype(dv_ref.dtype)
 
 
 def _pad_flatten(x, n_pad, d_pad):
@@ -340,7 +359,7 @@ def _flash_fwd(q, k, v, bias, seed, rate: float, block_q: int):
     b, n, h, d = q.shape
     scale = 1.0 / (d**0.5)
     d_pad = _round_up(d, 128)
-    n_pad = _round_up(n, block_q)
+    n_pad = _train_padded_len(n, block_q)
     qp, kp, vp = (_pad_flatten(x, n_pad, d_pad) for x in (q, k, v))
     bias_p = jnp.pad(bias, ((0, 0), (0, 0), (0, n_pad - n)), constant_values=_NEG)
     nq = n_pad // block_q
@@ -376,7 +395,7 @@ def _flash_bwd(rate: float, block_q: int, res, dout):
     b, n, h, d = q.shape
     scale = 1.0 / (d**0.5)
     d_pad = _round_up(d, 128)
-    n_pad = _round_up(n, block_q)
+    n_pad = _train_padded_len(n, block_q)
     qp, kp, vp, dop, op = (_pad_flatten(x, n_pad, d_pad) for x in (q, k, v, dout, out))
     bias_p = jnp.pad(bias, ((0, 0), (0, 0), (0, n_pad - n)), constant_values=_NEG)
     nq = n_pad // block_q
@@ -429,8 +448,8 @@ def _flash_bwd(rate: float, block_q: int, res, dout):
         ],
         out_specs=[kblk, kblk],
         out_shape=[
-            jax.ShapeDtypeStruct((b, n_pad, h * d_pad), jnp.float32),
-            jax.ShapeDtypeStruct((b, n_pad, h * d_pad), jnp.float32),
+            jax.ShapeDtypeStruct((b, n_pad, h * d_pad), k.dtype),
+            jax.ShapeDtypeStruct((b, n_pad, h * d_pad), v.dtype),
         ],
         interpret=interpret,
     )(seed, bias_p, kp, vp, qp, dop, op, lse)
@@ -439,8 +458,7 @@ def _flash_bwd(rate: float, block_q: int, res, dout):
     unpad = lambda x: x.reshape(b, n_pad, h, d_pad)[:, :n, :, :d]  # noqa: E731
     zero_bias = jnp.zeros_like(bias)
     zero_seed = np.zeros(seed.shape, jax.dtypes.float0)
-    return (unpad(dq), unpad(dk).astype(k.dtype), unpad(dv).astype(v.dtype),
-            zero_bias, zero_seed)
+    return (unpad(dq), unpad(dk), unpad(dv), zero_bias, zero_seed)
 
 
 _flash_attention_core.defvjp(_flash_fwd, _flash_bwd)
@@ -453,13 +471,21 @@ def flash_attention_train(
     key_padding_mask: jnp.ndarray | None = None,
     dropout_rate: float = 0.0,
     seed=None,
-    block_q: int = 128,
+    block_q: int | None = None,
 ) -> jnp.ndarray:
     """Differentiable fused attention with probability dropout.
 
     q/k/v: [B, N, H, D] (the projections' native layout); key_padding_mask:
     [B, N] bool, True = ignore; seed: int32 scalar/array varying per step
-    (ignored when dropout_rate == 0). Returns [B, N, H, D]."""
+    (ignored when dropout_rate == 0). Returns [B, N, H, D].
+
+    block_q: q-block rows per grid step (also the dK/dV pass's k-block).
+    Default from TRANSFUSION_FLASH_BLOCK_Q (128); larger blocks raise
+    arithmetic intensity per grid step at the cost of VMEM."""
+    if block_q is None:
+        import os
+
+        block_q = int(os.environ.get("TRANSFUSION_FLASH_BLOCK_Q", "128"))
     b, n, h, d = q.shape
     if key_padding_mask is None:
         key_padding_mask = jnp.zeros((b, n), bool)

@@ -33,6 +33,12 @@ def get_parser() -> argparse.ArgumentParser:
     p.add_argument("--run-test", action="store_true", default=False)
     p.add_argument("--run-val", action="store_true", default=False)
     p.add_argument("--epochs", type=int, default=None, help="override run.epochs")
+    p.add_argument("--devices", type=int, default=None,
+                   help="use only the first N local devices (the TPU analog "
+                        "of the reference's --gpu list; omit to use all)")
+    p.add_argument("--skip-ssl-verification", action="store_true", default=False,
+                   help="disable SSL certificate verification for wandb "
+                        "artifact downloads (reference run_experiment.py:307-310)")
     p.add_argument("--run-dir", type=str, default=None,
                    help="output directory (default: $RUNS/<experiment>/<timestamp>)")
     p.add_argument("--mesh-model", type=int, default=1,
@@ -97,6 +103,13 @@ def main(argv=None):
         # reference's PL DDP process group, run_experiment.py:452-453).
         jax.distributed.initialize()
 
+    if args.skip_ssl_verification:
+        # Same mechanism as the reference (run_experiment.py:307-310): clusters
+        # with intercepting proxies otherwise fail the wandb artifact fetch.
+        import ssl
+
+        ssl._create_default_https_context = ssl._create_unverified_context
+
     from transfusion_tpu.config import derive_config, load_config
     from transfusion_tpu.parallel.mesh import make_mesh
     from transfusion_tpu.runner.trainer import EgoNaoTrainer
@@ -124,7 +137,8 @@ def main(argv=None):
         art = wandb.Artifact(f"config-{wb.id}", type="config")
         art.add_file(os.path.join(run_dir, "config.json"))
         wb.log_artifact(art)
-    mesh = make_mesh(model=args.mesh_model)
+    devices = jax.devices()[: args.devices] if args.devices else None
+    mesh = make_mesh(model=args.mesh_model, devices=devices)
     trainer = EgoNaoTrainer(config, run_dir, debug=config["debug"], mesh=mesh,
                             fsdp=args.mesh_fsdp)
 
