@@ -280,6 +280,46 @@ def test_postprocess_additional_verb_replacement_and_conflicts():
     assert np.all(ttcs[v] >= 0.251)
 
 
+def test_postprocess_pre_nms_candidate_cap_exact():
+    """Top-T candidate pre-selection is exact when <= T candidates clear the
+    score threshold (RoIConfig.pre_nms_candidates): capped and uncapped runs
+    must produce identical detections."""
+    rng = np.random.default_rng(3)
+    r, c = 64, 9  # 64 proposals x 8 fg classes = 512 candidates
+    props = np.stack(
+        [
+            np.array([x, y, x + w, y + h])
+            for x, y, w, h in zip(
+                rng.uniform(0, 180, r), rng.uniform(0, 180, r),
+                rng.uniform(8, 60, r), rng.uniform(8, 60, r),
+            )
+        ]
+    ).astype(np.float32)[None]
+    class_logits = rng.normal(0, 2.0, (1, r, c)).astype(np.float32)
+    verb_logits = rng.normal(0, 1.0, (1, r, 5)).astype(np.float32)
+    box_reg = rng.normal(0, 0.1, (1, r, 4 * c)).astype(np.float32)
+    outputs = {
+        "class_logits": jnp.asarray(class_logits),
+        "verb_logits": jnp.asarray(verb_logits),
+        "box_regression": jnp.asarray(box_reg),
+        "ttcs": jnp.asarray(rng.uniform(0.3, 2.0, (1, r)).astype(np.float32)),
+    }
+    base = dict(num_nouns=c, num_verbs=5, detections_per_img=20,
+                score_thresh=0.05, additional_postprocessing=False, ttc_on=True)
+    args = (outputs, jnp.asarray(props), jnp.ones((1, r), bool), (256, 256))
+    # T=128 < 512 candidates engages the cap; score_thresh .05 on softmax over
+    # 9 classes leaves well under 128 valid candidates.
+    capped = postprocess_detections(*args, RoIConfig(**base, pre_nms_candidates=128))
+    full = postprocess_detections(*args, RoIConfig(**base, pre_nms_candidates=0))
+    n_valid = int(np.asarray(capped["valid"]).sum())
+    assert n_valid > 0
+    for key in ("boxes", "scores", "nouns", "verbs", "ttcs", "valid"):
+        np.testing.assert_allclose(
+            np.asarray(capped[key]), np.asarray(full[key]), rtol=0, atol=1e-6,
+            err_msg=key,
+        )
+
+
 def test_detector_forward_smoke():
     cfg = DetectorConfig(
         roi=RoIConfig(num_nouns=7, num_verbs=5, representation_size=64,
