@@ -266,3 +266,46 @@ def test_stop_grad_rebuild_preserves_live_state(trainer_env, tmp_path):
     np.testing.assert_array_equal(
         leaf_before, np.asarray(jax.tree_util.tree_leaves(tr.state.params)[0]))
     assert tr.model_cfg.detector.stop_grad_stages == 5
+
+
+def test_pretrained_init_applies_weights_and_load_fpn_rpn_ejects(trainer_env, tmp_path):
+    """model.pretrained cold-start init (reference rcnn_factory.py:85-108):
+    an orbax params dir is merged into the fresh init, and load_fpn_rpn:
+    False reverts fpn/rpn/roi subtrees to fresh (rcnn_factory.py:93-99)."""
+    import jax
+    import orbax.checkpoint as ocp
+
+    src = _make_trainer(trainer_env, str(tmp_path / "src"))
+    src.ensure_state()
+    params = jax.tree.map(lambda x: np.array(x), src.state.params)
+    # Perturb one backbone leaf (should transfer) and one rpn-head leaf
+    # (should be ejected by load_fpn_rpn: False).
+    bb = params["rcnn"]["backbone"]
+    bb_key = next(iter(bb))
+    bb_leaf_path = bb[bb_key]
+    while isinstance(bb_leaf_path, dict):
+        bb_key_inner = next(iter(bb_leaf_path))
+        bb_leaf_parent, bb_leaf_path = bb_leaf_path, bb_leaf_path[bb_key_inner]
+    bb_leaf_parent[bb_key_inner] = bb_leaf_path + 1.5
+    rpn_conv = params["rcnn"]["rpn_head"]["conv"]
+    rpn_fresh = np.array(rpn_conv["kernel"])
+    rpn_conv["kernel"] = rpn_conv["kernel"] + 2.5
+    ckpt_dir = str(tmp_path / "pretrained_params")
+    ocp.StandardCheckpointer().save(os.path.abspath(ckpt_dir), params, force=True)
+
+    from transfusion_tpu.config import derive_config, load_config
+    from transfusion_tpu.runner.trainer import EgoNaoTrainer
+
+    config = derive_config(load_config(trainer_env), {"debug": False, "resume_from": ""})
+    config["model"]["pretrained"] = ckpt_dir
+    config["model"]["load_fpn_rpn"] = False
+    tr = EgoNaoTrainer(config, str(tmp_path / "dst"))
+    tr.ensure_state()
+    got = jax.tree.map(np.asarray, tr.state.params)
+    inner = got["rcnn"]["backbone"][bb_key]
+    while isinstance(inner, dict):
+        inner = inner[next(iter(inner))]
+    np.testing.assert_allclose(inner, bb_leaf_parent[bb_key_inner], atol=1e-6)
+    # Same seed + config -> fresh init equals src's pre-perturbation values.
+    np.testing.assert_allclose(
+        got["rcnn"]["rpn_head"]["conv"]["kernel"], rpn_fresh, atol=1e-6)

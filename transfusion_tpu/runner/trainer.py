@@ -525,6 +525,21 @@ class EgoNaoTrainer:
 
                 batch_stats = jax.device_put(batch_stats, replicated(self.mesh))
             self.state = state.replace(params=params, opt_state=opt_state, batch_stats=batch_stats)
+        if not resume_from:
+            # The reference initializes the RCNN from a translated detectron2
+            # checkpoint at model build (model.pretrained ->
+            # rcnn_factory.py:85-108). When resuming, the restore below
+            # overwrites everything anyway (same net effect as the reference's
+            # build-then-load_state_dict order), so skip the wasted work.
+            pretrained = (self.config.get("model") or {}).get("pretrained")
+            if isinstance(pretrained, str) and pretrained:
+                self._load_pretrained_weights(pretrained)
+            elif pretrained is True:
+                log.warning(
+                    "model.pretrained: True requests torchvision COCO weights "
+                    "(a download); provide a translated checkpoint path instead "
+                    "(tools/translate_checkpoint). Training from random init."
+                )
         if resume_from:
             self._check_tokenizer_provenance(resume_from)
             fresh = self.state.params
@@ -533,6 +548,66 @@ class EgoNaoTrainer:
             self.state = self.ckpt.restore(self.state, path=resume_from)
             if self.run.get("replace_heads", False) == "all":
                 self.state = self.state.replace(params=replace_heads(self.state.params, fresh))
+
+    def _load_pretrained_weights(self, path: str):
+        """Cold-start parameter init from pretrained detector weights
+        (config key ``model.pretrained`` — the reference's standard flow,
+        loading ``translated_ego4d{v2}.pth`` with key renames at model build,
+        ``rcnn_factory.py:85-108``).
+
+        Accepts either the reference torch ``.pth``/``.ckpt`` directly
+        (translated in-process via tools/translate_checkpoint) or an orbax
+        params directory that tool produced offline. ``model.load_fpn_rpn:
+        False`` reverts fpn/rpn/roi weights to fresh init so only the encoder
+        transfers (rcnn_factory.py:93-99)."""
+        import numpy as np
+
+        path = os.path.expandvars(path)
+        fresh = jax.tree.map(np.asarray, self.state.params)
+        if os.path.isdir(path):
+            import orbax.checkpoint as ocp
+
+            from transfusion_tpu.train.checkpoint import tolerant_merge
+
+            self._check_tokenizer_provenance(path)
+            restored = ocp.StandardCheckpointer().restore(os.path.abspath(path))
+            merged = tolerant_merge(fresh, restored)
+            log.info("pretrained init: restored orbax params from %s", path)
+        elif os.path.isfile(path):
+            import torch
+
+            from transfusion_tpu.tools.translate_checkpoint import (
+                translate_reference_checkpoint,
+            )
+
+            sd = torch.load(path, map_location="cpu", weights_only=False)
+            merged, report = translate_reference_checkpoint(
+                sd, fresh,
+                fpn_features=tuple(self.model_cfg.fusion.fpn_features),
+                patch_hw=tuple(
+                    zip(self.model_cfg.fusion.patch_h, self.model_cfg.fusion.patch_w)
+                ),
+            )
+            log.info(
+                "pretrained init: translated %d tensors from %s (unmatched source %d)",
+                report["translated"], path, len(report["unmatched_source"]),
+            )
+        else:
+            raise FileNotFoundError(f"model.pretrained path not found: {path}")
+
+        if not (self.config.get("model") or {}).get("load_fpn_rpn", True):
+            rcnn_m = merged.get("rcnn", merged)
+            rcnn_f = fresh.get("rcnn", fresh)
+            for key in ("fpn", "rpn_head", "box_head", "predictors"):
+                if key in rcnn_m:
+                    rcnn_m[key] = rcnn_f[key]
+            log.info("pretrained init: load_fpn_rpn False — fpn/rpn/roi heads stay fresh")
+
+        p_sh = param_shardings(self.mesh, self.state.params, fsdp=self.fsdp)
+        merged = jax.tree.map(
+            lambda new, old: np.asarray(new, dtype=old.dtype), merged, fresh
+        )
+        self.state = self.state.replace(params=jax.device_put(merged, p_sh))
 
     def _check_tokenizer_provenance(self, resume_from: str):
         """Fail loudly when a checkpoint carrying PRETRAINED language-tower
