@@ -106,6 +106,78 @@ class SlowFastFeaturesReader:
         return np.frombuffer(bytes(buf), np.float32).reshape(-1, self.feature_dim)
 
 
+FLOW_IMG_SHAPE_UP = (360, 480, 2)  # readers.py:16 (HWC here; ref stores CHW)
+JPG_FLOW_LOAD_SHAPE = (2, 480, 640)  # readers.py:17
+
+
+def decode_flow_jpg(buf: bytes, load_shape=JPG_FLOW_LOAD_SHAPE,
+                    img_shape=FLOW_IMG_SHAPE_UP) -> np.ndarray:
+    """Decode one packed flow JPEG: grayscale image stacking the two flow
+    channels vertically -> reshape CHW -> HWC [H, W, 2], bilinear-resized to
+    ``img_shape`` when stored at another resolution
+    (FlowDataReaderJpg.val_from_bytes, readers.py:314-322)."""
+    import cv2
+
+    raw = np.frombuffer(buf, np.uint8)
+    flat = cv2.imdecode(raw, cv2.IMREAD_GRAYSCALE)
+    val = flat.reshape(load_shape).transpose(1, 2, 0)
+    th, tw = img_shape[:2]
+    if val.shape[:2] != (th, tw):
+        val = cv2.resize(val, dsize=(tw, th), interpolation=cv2.INTER_LINEAR)
+    return val
+
+
+class FlowJpgReader:
+    """Optical-flow frames packed as grayscale JPEGs in a per-video LMDB
+    (``FlowDataReaderJpg``, readers.py:300-322): each JPEG stacks the two
+    flow channels vertically; decode -> reshape (2, H, W) -> HWC [H, W, 2],
+    bilinear-resized to ``img_shape`` when stored at another resolution.
+
+    The reference's float-array base class is dead code — its
+    ``val_from_bytes`` raises NotImplementedError (readers.py:249-252) — so
+    only the JPG variant is rebuilt. Flow keys use the 10-digit frame
+    template (vs 7 digits for RGB), and the LMDB directory carries a
+    ``_jpg`` suffix (readers.py:303-313).
+    """
+
+    def __init__(self, path_to_root: str, video_id: str,
+                 load_shape=JPG_FLOW_LOAD_SHAPE, img_shape=FLOW_IMG_SHAPE_UP):
+        import lmdb  # optional dependency
+
+        self.video_id = video_id
+        self.load_shape = tuple(load_shape)
+        self.img_shape = tuple(img_shape)
+        self.env = lmdb.open(
+            str(Path(path_to_root) / f"{video_id}_jpg"),
+            readonly=True, lock=False, readahead=False, meminit=False,
+        )
+
+    def _key(self, frame_no: int) -> bytes:
+        return f"{self.video_id}_{int(frame_no):010d}".encode()
+
+    def _decode(self, buf: bytes) -> np.ndarray:
+        return decode_flow_jpg(bytes(buf), self.load_shape, self.img_shape)
+
+    def get_frame(self, frame_no: int) -> np.ndarray:
+        with self.env.begin(write=False) as txn:
+            buf = txn.get(self._key(frame_no))
+        if buf is None:
+            raise KeyError(self._key(frame_no))
+        return self._decode(buf)
+
+    def get_clip(self, frames: list[int]) -> list[np.ndarray]:
+        with self.env.begin(write=False) as txn:
+            return [self._decode(txn.get(self._key(f))) for f in frames]
+
+    def existing_keys(self) -> set[str]:
+        with self.env.begin(write=False) as txn:
+            return {k.decode("ascii") for k in txn.cursor().iternext(values=False)}
+
+    def check_frames_exist(self, frames) -> bool:
+        keys = self.existing_keys()
+        return all(self._key(f).decode("ascii") in keys for f in frames)
+
+
 def get_clip_frame_idxs(end_frame: int, num_frames: int, stride: int) -> list[int]:
     """Backward strided clip indices ending at end_frame (video_readers.py:25-35)."""
     return [max(0, end_frame - i * stride) for i in range(num_frames - 1, -1, -1)]

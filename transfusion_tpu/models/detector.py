@@ -62,6 +62,12 @@ class DetectorConfig:
     # trainable is upstream of the cut; the trainer sets this per epoch from
     # train_ep/trainable_layers (faster_rcnn_wrapper.py:135-146).
     stop_grad_stages: int = 0
+    # Legacy two-stream variant (DualStreamRCNNWrapper,
+    # dual_stream_rcnn_wrapper.py:12-94): the backbone also consumes an
+    # optical-flow input fused into every residual block (models/dual_stream).
+    # Unreachable from shipped reference configs (model_factory.py:55).
+    dual_stream: bool = False
+    flow_fusion: str = "sum"
     dtype: Any = jnp.float32
 
 
@@ -69,7 +75,16 @@ class FasterRCNN(nn.Module):
     cfg: DetectorConfig
 
     def setup(self):
-        if self.cfg.backbone.startswith("mobilenet"):
+        if self.cfg.dual_stream:
+            from transfusion_tpu.models.dual_stream import DualStreamResNet
+
+            self.backbone = DualStreamResNet(
+                stage_sizes=self.cfg.stage_sizes,
+                stride_in_1x1=self.cfg.stride_in_1x1,
+                fusion=self.cfg.flow_fusion,
+                dtype=self.cfg.dtype,
+            )
+        elif self.cfg.backbone.startswith("mobilenet"):
             from transfusion_tpu.models.mobilenet import MobileNetV3Features
 
             self.backbone = MobileNetV3Features(dtype=self.cfg.dtype)
@@ -88,9 +103,14 @@ class FasterRCNN(nn.Module):
         self.box_head = BoxHead(self.cfg.roi.representation_size, dtype=self.cfg.dtype)
         self.predictors = RoIPredictors(self.cfg.roi, dtype=self.cfg.dtype)
 
-    def forward_features(self, images, train: bool = False):
+    def forward_features(self, images, train: bool = False, flow=None):
         """Backbone body only — the fusion seam operates on this dict.
-        ``train`` only matters under trainable BN (batch-stat updates)."""
+        ``train`` only matters under trainable BN (batch-stat updates).
+        ``flow`` feeds the dual-stream backbone (x["flow_data"],
+        dual_stream_rcnn_wrapper.py:38-41)."""
+        if self.cfg.dual_stream:
+            assert flow is not None, "dual_stream=True requires a flow input"
+            return self.backbone(images, flow, train)
         if self.cfg.trainable_bn and not self.cfg.backbone.startswith("mobilenet"):
             return self.backbone(images, train)
         return self.backbone(images)
@@ -154,8 +174,8 @@ class FasterRCNN(nn.Module):
             "image_sizes": image_hw,
         }
 
-    def __call__(self, images, image_hw, targets=None, train: bool = False):
-        feats = self.forward_features(images, train)
+    def __call__(self, images, image_hw, targets=None, train: bool = False, flow=None):
+        feats = self.forward_features(images, train, flow=flow)
         fpn_feats = self.apply_fpn(feats)
         return self.apply_rpn_roi(fpn_feats, image_hw, targets, train)
 

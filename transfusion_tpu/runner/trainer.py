@@ -830,6 +830,51 @@ class EgoNaoTrainer:
             write_result_json(results, path, epoch=epoch)
         return EvalResult(metrics=metrics, result_json_path=path)
 
+    def make_detect_fn(self, score_thresh: float | None = None, resume_from: str | None = None):
+        """Plain-detector closure for offline tools — the role UniDet plays in
+        the reference's label-extraction sweep (label_extraction.py:92-125).
+
+        Returns ``detect(images)`` taking a list/array of uint8 RGB HWC
+        frames and returning, per frame, ``(class_ids, scores, xyxy boxes)``
+        in ORIGINAL frame coordinates, thresholded at ``score_thresh``.
+        Narration input is empty (the sweep runs the detector standalone).
+        """
+        self.ensure_state(resume_from=resume_from)
+        from transfusion_tpu.data.transforms import transform_example
+
+        bucket = tuple(self.aug.eval_bucket())
+        rng = np.random.default_rng(0)  # unused on the eval path
+        empty = np.zeros((0, 4), np.float32)
+
+        def detect(images):
+            n = len(images)
+            ims, scales = [], []
+            for img in images:
+                oh, ow = img.shape[:2]
+                im, _ = transform_example(rng, np.asarray(img), empty, self.aug,
+                                          bucket, training=False)
+                ims.append(im)
+                scales.append((ow / bucket[1], oh / bucket[0]))
+            ids, mask = self.tokenizer.encode_batch([""] * n)
+            db = self._device_batch(
+                {"image": np.stack(ims), "input_ids": ids, "attention_mask": mask},
+                with_targets=False,
+            )
+            dets = jax.device_get(
+                self.eval_step(self.state.params, db, bucket, self.state.batch_stats)
+            )
+            out = []
+            for i in range(n):
+                v = dets["valid"][i]
+                if score_thresh is not None:
+                    v = v & (dets["scores"][i] >= score_thresh)
+                sx, sy = scales[i]
+                boxes = dets["boxes"][i][v] * np.array([sx, sy, sx, sy], np.float32)
+                out.append((dets["nouns"][i][v], dets["scores"][i][v], boxes))
+            return out
+
+        return detect
+
     # ------------------------------------------------------------------ fit
     def fit(self, epochs: int | None = None, resume_from: str | None = None,
             wandb_run=None, wandb_module=None, log_checkpoints: bool = True):
