@@ -233,3 +233,59 @@ def hmap_criterion(criterion: dict, pixel_w):
         return losses.mean()
 
     return apply
+
+
+def sample_heatmap_coords(key, gt_heatmap, no_samples: int):
+    """Draw ``no_samples`` distinct pixel coordinates per image weighted by
+    heatmap mass, mapped to the multivar coordinate frame — the sampling half
+    of ``multivar_n_loss`` (runner/metrics_losses/losses.py:49-60):
+    ``torch.multinomial(replacement=False)`` over the flattened map, unravel,
+    then interp y -> [-MAX_STD*h/w, MAX_STD*h/w], x -> [-MAX_STD, MAX_STD].
+
+    Without-replacement sampling uses the Gumbel-top-k trick (exactly the
+    multinomial-without-replacement distribution); zero-mass pixels get -inf
+    keys and are never drawn. Returns [B, no_samples, 2] as (y, x).
+    """
+    from transfusion_tpu.data.heatmaps import MAX_STD
+
+    b, h, w = gt_heatmap.shape
+    flat = gt_heatmap.reshape(b, h * w).astype(jnp.float32)
+    logw = jnp.where(flat > 0, jnp.log(jnp.maximum(flat, 1e-30)), -jnp.inf)
+    gumbel = -jnp.log(-jnp.log(
+        jax.random.uniform(key, flat.shape, minval=1e-12, maxval=1.0)))
+    _, idx = jax.lax.top_k(logw + gumbel, no_samples)  # [B, S]
+    ys = (idx // w).astype(jnp.float32)
+    xs = (idx % w).astype(jnp.float32)
+    sy = h / w
+    ys = ys / h * (2 * MAX_STD * sy) - MAX_STD * sy  # np.interp over [0, h]
+    xs = xs / w * (2 * MAX_STD) - MAX_STD
+    return jnp.stack([ys, xs], axis=-1)
+
+
+def mvn_nll(loc, scale_tril, samples):
+    """Mean negative log-likelihood of ``samples`` [B, S, 2] under the 2-D
+    Gaussian N(loc, L L^T) — ``-distribution.log_prob(samples).mean()``
+    (losses.py:61) with the 2x2 lower-triangular solve written out."""
+    d = (samples - loc[:, None, :]).astype(jnp.float32)
+    l00 = scale_tril[:, 0, 0][:, None]
+    l10 = scale_tril[:, 1, 0][:, None]
+    l11 = scale_tril[:, 1, 1][:, None]
+    z0 = d[..., 0] / l00
+    z1 = (d[..., 1] - l10 * z0) / l11
+    logdet = jnp.log(jnp.abs(l00)) + jnp.log(jnp.abs(l11))
+    logp = -0.5 * (z0 ** 2 + z1 ** 2) - logdet - jnp.log(2 * jnp.pi)
+    return -logp.mean()
+
+
+def multivar_n_loss(criterion: dict):
+    """``multivar_n_loss`` (runner/metrics_losses/losses.py:44-63): sample
+    ``no_samples`` heatmap-weighted coordinates and score them under the
+    predicted Gaussian. ``dist`` is the model's {"loc", "scale_tril"} dict
+    (models/resnet_nao.ResnetNao under ``multivar_n``)."""
+    no_samples = criterion["no_samples"]
+
+    def loss(dist, gt_heatmap, key):
+        samples = sample_heatmap_coords(key, gt_heatmap, no_samples)
+        return mvn_nll(dist["loc"], dist["scale_tril"], samples)
+
+    return loss
