@@ -111,6 +111,24 @@ def _head(x, classes, dropout, deterministic, name, activ=None, dtype=jnp.float3
     return x
 
 
+def forward_multivar(mdl: nn.Module, hm, dropout: float, deterministic: bool):
+    """forward_multivar (commons.py:100-109) with the intended index split
+    (see module docstring): 5-way MLP over the flattened map -> loc +
+    lower-triangular scale. Call from inside a compact ``__call__`` — params
+    land in the caller's scope (shared by ResnetNao and ScnnNao)."""
+    b = hm.shape[0]
+    flat = nn.Dropout(dropout, deterministic=deterministic,
+                      name="dist_dropout")(hm.reshape(b, -1))
+    outputs = nn.Dense(5, dtype=jnp.float32, name="dist_mlp")(flat)
+    offset_stds = mdl.param("offset_stds", nn.initializers.ones, (2,))
+    loc, tril, diag = outputs[:, :2], outputs[:, 2], outputs[:, 3:]
+    diag = 1.0 + offset_stds + nn.elu(diag)
+    zeros = jnp.zeros((b,), diag.dtype)
+    scale_tril = jnp.stack(
+        [diag[:, 0], zeros, tril, diag[:, 1]], axis=-1).reshape(b, 2, 2)
+    return {"loc": loc, "scale_tril": scale_tril}
+
+
 class ResnetNao(nn.Module):
     """forward (commons.py:111-116): features -> heatmap branch + classif
     branch -> last_stage. Returns {"heatmap", "noun_logits", "verb_logits",
@@ -151,7 +169,7 @@ class ResnetNao(nn.Module):
                              cfg.head_k_size, cfg.hmap_dropout, cfg.dtype,
                              name="heatmap_head")(feat, deterministic)
             if cfg.multivar_n:
-                heatmap = self._forward_multivar(hm, deterministic)
+                heatmap = forward_multivar(self, hm, cfg.hmap_dropout, deterministic)
             else:
                 heatmap = hm
 
@@ -182,20 +200,3 @@ class ResnetNao(nn.Module):
                                    axis=-1).reshape(b, hh, wh)
         return {"heatmap": x, "noun_logits": noun_logits,
                 "verb_logits": verb_logits, "ttc": ttc}
-
-    def _forward_multivar(self, hm, deterministic):
-        """forward_multivar (commons.py:100-109) with the intended index
-        split (see module docstring): 5-way MLP over the flattened map ->
-        loc + lower-triangular scale."""
-        cfg = self.cfg
-        b = hm.shape[0]
-        flat = nn.Dropout(cfg.hmap_dropout, deterministic=deterministic,
-                          name="dist_dropout")(hm.reshape(b, -1))
-        outputs = nn.Dense(5, dtype=jnp.float32, name="dist_mlp")(flat)
-        offset_stds = self.param("offset_stds", nn.initializers.ones, (2,))
-        loc, tril, diag = outputs[:, :2], outputs[:, 2], outputs[:, 3:]
-        diag = 1.0 + offset_stds + nn.elu(diag)
-        zeros = jnp.zeros((b,), diag.dtype)
-        scale_tril = jnp.stack(
-            [diag[:, 0], zeros, tril, diag[:, 1]], axis=-1).reshape(b, 2, 2)
-        return {"loc": loc, "scale_tril": scale_tril}
