@@ -82,28 +82,29 @@ def _enable_compile_cache():
         jax.config.update("jax_default_prng_impl", "rbg")
 
 
-def _train_batch(rng, nn_, nv):
+def _train_batch(rng, nn_, nv, batch=None):
     """Synthetic calibration/training batch at bench shapes."""
     import jax.numpy as jnp
     import numpy as np
 
+    batch = BATCH if batch is None else batch
     boxes = np.stack([
         np.stack([
             np.array([100.0 + 30 * i, 80.0 + 20 * i, 400.0 + 10 * i, 360.0 + 15 * i])
             for i in range(2)
         ])
-        for _ in range(BATCH)
+        for _ in range(batch)
     ])
     return {
-        "image": jnp.asarray(rng.normal(0, 0.7, (BATCH, H, W, 3)).astype(np.float32)),
-        "input_ids": jnp.asarray(rng.integers(0, 30000, (BATCH, LANG_LEN)).astype(np.int32)),
-        "attention_mask": jnp.ones((BATCH, LANG_LEN), jnp.int32),
+        "image": jnp.asarray(rng.normal(0, 0.7, (batch, H, W, 3)).astype(np.float32)),
+        "input_ids": jnp.asarray(rng.integers(0, 30000, (batch, LANG_LEN)).astype(np.int32)),
+        "attention_mask": jnp.ones((batch, LANG_LEN), jnp.int32),
         "targets": {
             "boxes": jnp.asarray(boxes, jnp.float32),
-            "nouns": jnp.asarray(rng.integers(1, nn_ - 1, (BATCH, 2)).astype(np.int32)),
-            "verbs": jnp.asarray(rng.integers(0, nv - 1, (BATCH, 2)).astype(np.int32)),
-            "ttcs": jnp.asarray(rng.uniform(0.3, 1.6, (BATCH, 2)).astype(np.float32)),
-            "valid": jnp.ones((BATCH, 2), bool),
+            "nouns": jnp.asarray(rng.integers(1, nn_ - 1, (batch, 2)).astype(np.int32)),
+            "verbs": jnp.asarray(rng.integers(0, nv - 1, (batch, 2)).astype(np.int32)),
+            "ttcs": jnp.asarray(rng.uniform(0.3, 1.6, (batch, 2)).astype(np.float32)),
+            "valid": jnp.ones((batch, 2), bool),
         },
     }
 
@@ -136,7 +137,11 @@ def _calibrated_params(model, cfg, batch, steps: int):
 
     nn_, nv = cfg.detector.roi.num_nouns, cfg.detector.roi.num_verbs
     tx, _ = make_optimizer({"name": "radam", "lr": 1e-4, "weight_decay": 1e-5}, None, 100)
-    tb = _train_batch(np.random.default_rng(7), nn_, nv)
+    # Calibration runs the TRAIN program, whose activation footprint at the
+    # timing batch can OOM alongside the eval program (B16 eval + B16 train
+    # state blew HBM in round 3); the calibrated params are batch-independent,
+    # so calibrate at <=8 regardless of the timing batch.
+    tb = _train_batch(np.random.default_rng(7), nn_, nv, batch=min(BATCH, 8))
     state = init_state(model, tx, dict(tb, image_hw=(H, W)), jax.random.key(0))
     if steps <= 0:
         print("bench weights: raw random init (TRANSFUSION_BENCH_CALIB=0)", file=sys.stderr)
