@@ -6,9 +6,22 @@ import os
 import numpy as np
 
 
-def make_synthetic_ego4d(root, n_videos=2, n_train=10, n_val=4, n_test=2, seed=0, fh=540, fw=720):
+LEARNABLE_PALETTE = np.array(
+    [[220, 30, 30], [30, 200, 30], [40, 60, 230], [235, 220, 30], [30, 210, 210], [230, 40, 220]],
+    np.uint8,
+)  # one saturated color per noun category
+
+
+def make_synthetic_ego4d(root, n_videos=2, n_train=10, n_val=4, n_test=2, seed=0, fh=540, fw=720,
+                         learnable=False):
     """Create fho_sta_{train,val}.json + test_unannotated + jpg frames +
-    external caption files under `root`. Returns dict of useful paths."""
+    external caption files under `root`. Returns dict of useful paths.
+
+    ``learnable=True`` paints real structure into the frames so the assembled
+    system can be overfit-tested end to end: frames are a flat gray background
+    and every GT box is a solid rectangle whose color encodes its noun
+    category (LEARNABLE_PALETTE); the verb and TTC are deterministic
+    functions of the noun, and each frame carries exactly one object."""
     from PIL import Image
 
     rng = np.random.default_rng(seed)
@@ -33,17 +46,27 @@ def make_synthetic_ego4d(root, n_videos=2, n_train=10, n_val=4, n_test=2, seed=0
             vid = videos[k % n_videos]
             frame = start_frame + 40 * k
             uid = f"{vid}_{frame:07d}"
-            n_obj = int(rng.integers(1, 3))
+            n_obj = 1 if learnable else int(rng.integers(1, 3))
             objects = []
             for _ in range(n_obj):
-                x1, y1 = rng.uniform(10, fw - 200), rng.uniform(10, fh - 200)
-                bw, bh = rng.uniform(60, 180), rng.uniform(60, 180)
+                if learnable:
+                    noun = k % 6
+                    x1, y1 = rng.uniform(10, fw - 260), rng.uniform(10, fh - 200)
+                    bw, bh = rng.uniform(fw * 0.25, fw * 0.4), rng.uniform(fh * 0.3, fh * 0.5)
+                    verb = (noun * 7) % 70
+                    ttc = 0.4 + 0.2 * noun
+                else:
+                    noun = int(rng.integers(0, 6))
+                    x1, y1 = rng.uniform(10, fw - 200), rng.uniform(10, fh - 200)
+                    bw, bh = rng.uniform(60, 180), rng.uniform(60, 180)
+                    verb = int(rng.integers(0, 70))
+                    ttc = float(rng.uniform(0.3, 1.8))
                 objects.append(
                     {
                         "box": [float(x1), float(y1), float(min(x1 + bw, fw - 1)), float(min(y1 + bh, fh - 1))],
-                        "verb_category_id": int(rng.integers(0, 70)),
-                        "noun_category_id": int(rng.integers(0, 6)),
-                        "time_to_contact": float(rng.uniform(0.3, 1.8)),
+                        "verb_category_id": int(verb),
+                        "noun_category_id": int(noun),
+                        "time_to_contact": float(ttc),
                     }
                 )
             anns.append(
@@ -60,7 +83,13 @@ def make_synthetic_ego4d(root, n_videos=2, n_train=10, n_val=4, n_test=2, seed=0
             captions0[uid] = f"an object near the {objects[0]['noun_category_id']}"
             captions1[uid] = f"person acting {objects[0]['verb_category_id']}"
             # Write the frame jpg.
-            img = rng.integers(0, 255, (fh, fw, 3), dtype=np.uint8)
+            if learnable:
+                img = np.full((fh, fw, 3), 128, np.uint8)
+                for obj in objects:
+                    bx1, by1, bx2, by2 = (int(v) for v in obj["box"])
+                    img[by1:by2, bx1:bx2] = LEARNABLE_PALETTE[obj["noun_category_id"]]
+            else:
+                img = rng.integers(0, 255, (fh, fw, 3), dtype=np.uint8)
             Image.fromarray(img).save(os.path.join(frames_dir, f"{uid}.jpg"), quality=80)
         return anns
 
