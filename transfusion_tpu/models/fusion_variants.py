@@ -98,7 +98,13 @@ class AsymmetricCrossFusionLevel(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, feat, lang_tokens, lang_mask, deterministic: bool = True):
+    def __call__(self, feat, lang_tokens, lang_mask, deterministic: bool = True,
+                 visual_features=None):
+        if visual_features is not None:
+            # The reference's clip-feature wrapper subclasses only the
+            # cross_transformer wrapper (cross_f_box_vis_language_wrapper.py);
+            # build_transfusion_config rejects the combination up front.
+            raise ValueError("asymmetric fusion does not take visual_features")
         cfg = self.cfg
         b, h, w, c = feat.shape
         ph, pw = cfg.patch_h, cfg.patch_w
@@ -252,3 +258,54 @@ class SpaceTimeFusionModule(nn.Module):
         if self.final_norm == "ln":
             x = nn.LayerNorm(name="final_norm")(x)
         return x
+
+
+class SpaceTimeFusionLevel(nn.Module):
+    """The fusion YAML's ``type: space_time`` box-path encoder, fitted to the
+    per-level interface (``get_cross_box_encoder`` dispatch,
+    cross_f_box_wrapper.py:24-37, selected at :88-91).
+
+    The reference's own wiring of this type is dead code: the wrapper calls
+    every encoder with (vis, lang, mask, vis_tokens_mask=...) while
+    ``SpaceTimeFusionModule.forward`` accepts (x, flow_tokens_att_maks) — a
+    TypeError in the reference itself (cross_f_box_layers.py:262; wrapper
+    call at cross_f_box_wrapper.py:190-198). The intended semantics, and what
+    this level implements: the patch grid is factorized as rows x columns and
+    encoded by SpaceTimeFusionModule (spatial-then-"temporal" attention — the
+    ViViT factorization the module was built for); the module consumes NO
+    language input (its forward has no language parameters), so the language
+    tokens pass through unchanged and the encoded grid re-projects onto the
+    feature map exactly like the cross_transformer level."""
+
+    cfg: FusionLevelConfig
+    out_channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, feat, lang_tokens, lang_mask, deterministic: bool = True,
+                 visual_features=None):
+        if visual_features is not None:
+            raise ValueError("space_time fusion does not take visual_features")
+        cfg = self.cfg
+        b, h, w, c = feat.shape
+        ph, pw = cfg.patch_h, cfg.patch_w
+        vis = nn.Conv(cfg.token_dim, (ph, pw), strides=(ph, pw), use_bias=False,
+                      padding="VALID", dtype=self.dtype, name="patch_to_token")(feat)
+        gh, gw = vis.shape[1:3]
+        x = SpaceTimeFusionModule(
+            dim=cfg.token_dim, num_layers=cfg.num_layers, num_heads=cfg.num_heads,
+            ff_multiplier=cfg.ff_multiplier, token_dropout=cfg.token_dropout,
+            patch_dropout=cfg.patch_dropout, activation=cfg.activation,
+            pos_embedding=cfg.pos_embedding, final_norm=cfg.final_norm,
+            dtype=self.dtype, name="encoder",
+        )(vis.reshape(b, gh, gw, cfg.token_dim), deterministic=deterministic)
+        vis_out = x.reshape(b, gh * gw, cfg.token_dim)
+
+        # RegroupPatchesLayerBox fold, as in CrossFusionLevel.
+        vis_out = nn.Dropout(cfg.backproj_dropout, deterministic=deterministic)(vis_out)
+        vis_out = nn.Dense(ph * pw * self.out_channels, dtype=self.dtype, name="back_proj")(vis_out)
+        fused = vis_out.reshape(b, gh, gw, ph, pw, self.out_channels)
+        fused = fused.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * ph, gw * pw, self.out_channels)
+        if (gh * ph, gw * pw) != (h, w):
+            fused = jnp.pad(fused, ((0, 0), (0, h - gh * ph), (0, w - gw * pw), (0, 0)))
+        return fused, lang_tokens

@@ -28,6 +28,18 @@ from transfusion_tpu.models.text_encoder import BertConfig, NarrationEncoder
 
 @dataclass(frozen=True)
 class FusionConfig:
+    # Box-path encoder family, the fusion YAML's top-level ``type:`` key
+    # (``get_cross_box_encoder``, cross_f_box_wrapper.py:24-37, dispatched at
+    # :88-91): "cross_transformer" | "space_time" | "asymmetric".
+    fusion_type: str = "cross_transformer"
+    # narr_out_mode == "embedding" selects the single-class-token encoder
+    # variants (cross_f_box_wrapper.py:90). For cross_transformer the token
+    # variant differs from the full module only in dropping the padding mask
+    # — a no-op here since the single pooled token's mask is all-ones — and
+    # in its torch ctor being broken anyway (CrossTransformerTokenModule
+    # passes final_ln to a parent that takes final_norm,
+    # cross_f_box_layers.py:130-144: TypeError); recorded for parity.
+    class_token_only: bool = False
     fpn_features: tuple = (0, 1, 2, 3)
     patch_h: tuple = (4, 4, 2, 1)
     patch_w: tuple = (4, 4, 2, 1)
@@ -46,6 +58,11 @@ class FusionConfig:
     replace_fpn_features: bool = True
     share_encoders: bool = False  # one transformer stack across all levels
     use_flash_attention: bool = False  # Pallas attention kernel (eval path)
+    # Asymmetric-family knobs (cross_f_box_asymm.py:13-30 ctor defaults);
+    # lang_layers/vis_dropout/lang_dropout ride the fusion YAML's args block.
+    asymm_lang_layers: int = 2
+    asymm_vis_dropout: float = 0.1
+    asymm_lang_dropout: float = 0.1
 
 
 @dataclass(frozen=True)
@@ -196,14 +213,60 @@ class TransFusion(nn.Module):
                     vis_mask_type=c.fusion.vis_mask_type,
                     use_flash_attention=c.fusion.use_flash_attention,
                 )
-                levels.append(
-                    CrossFusionLevel(
-                        level_cfg, CHANNELS[str(lvl)], dtype=c.dtype,
-                        shared_layers=shared_layers,
-                        vis_fusion=vis_fusion_mods.get(lvl),
-                        name=f"fusion_{lvl}",
+                # get_cross_box_encoder dispatch (cross_f_box_wrapper.py:24-37)
+                # on the fusion YAML's type: key.
+                ftype = c.fusion.fusion_type
+                if ftype == "cross_transformer":
+                    levels.append(
+                        CrossFusionLevel(
+                            level_cfg, CHANNELS[str(lvl)], dtype=c.dtype,
+                            shared_layers=shared_layers,
+                            vis_fusion=vis_fusion_mods.get(lvl),
+                            name=f"fusion_{lvl}",
+                        )
                     )
-                )
+                elif ftype == "asymmetric":
+                    from transfusion_tpu.models.fusion_variants import (
+                        AsymmetricConfig,
+                        AsymmetricCrossFusionLevel,
+                    )
+
+                    # The reference's num_layers[i] maps onto the asymmetric
+                    # module's vis_layers slot (the wrapper forwards
+                    # num_layers=... into the ctor, cross_f_box_wrapper.py:108
+                    # — whose torch signature rejects it, another dead seam;
+                    # the intended meaning is the visual depth).
+                    levels.append(
+                        AsymmetricCrossFusionLevel(
+                            AsymmetricConfig(
+                                token_dim=c.fusion.token_dim,
+                                vis_layers=c.fusion.num_layers[i],
+                                lang_layers=c.fusion.asymm_lang_layers,
+                                num_heads=c.fusion.num_heads,
+                                ff_multiplier=c.fusion.ff_multiplier,
+                                vis_dropout=c.fusion.asymm_vis_dropout,
+                                lang_dropout=c.fusion.asymm_lang_dropout,
+                                patch_dropout=c.fusion.patch_dropout,
+                                pos_embedding=c.fusion.pos_embedding,
+                                activation=c.fusion.activation,
+                                patch_h=c.fusion.patch_h[i],
+                                patch_w=c.fusion.patch_w[i],
+                            ),
+                            CHANNELS[str(lvl)], dtype=c.dtype,
+                            name=f"fusion_{lvl}",
+                        )
+                    )
+                elif ftype == "space_time":
+                    from transfusion_tpu.models.fusion_variants import SpaceTimeFusionLevel
+
+                    levels.append(
+                        SpaceTimeFusionLevel(
+                            level_cfg, CHANNELS[str(lvl)], dtype=c.dtype,
+                            name=f"fusion_{lvl}",
+                        )
+                    )
+                else:
+                    raise ValueError(f"cross_type={ftype!r} not implemented")
             self.fusion_levels = levels
         if c.ttc_hand is not None:
             from transfusion_tpu.models.ttc_head import TTCPredictionHead
@@ -520,7 +583,30 @@ def build_transfusion_config(
         bert = BertConfig.minilm_l6()
 
     fargs = fusion_cfg.get("args", {})
+    # Box-path encoder family: the fusion YAML's type: key + the
+    # class-token variant keyed on narr_out_mode == "embedding"
+    # (get_cross_box_encoder, cross_f_box_wrapper.py:24-37, call at :88-91).
+    fusion_type = fusion_cfg.get("type", "cross_transformer")
+    if fusion_type not in ("cross_transformer", "space_time", "asymmetric"):
+        # Mirrors get_cross_box_encoder's fail-loud default branch.
+        raise ValueError(f"cross_type={fusion_type!r} not implemented")
+    if fusion_type != "cross_transformer":
+        if fusion_cfg.get("share_encoders"):
+            raise ValueError(
+                "share_encoders is a cross_transformer-wrapper feature "
+                "(CrossFusionBoxWrapperShared, cross_f_box_wrapper.py:305)"
+            )
+        if narr.get("res50_f", False) or narr.get("slowfast_f_v", False):
+            raise ValueError(
+                "clip-feature fusion subclasses the cross_transformer wrapper "
+                "only (cross_f_box_vis_language_wrapper.py)"
+            )
     fus = FusionConfig(
+        fusion_type=fusion_type,
+        class_token_only=fusion_cfg.get("narr_out_mode", "tokens") == "embedding",
+        asymm_lang_layers=fargs.get("lang_layers", 2),
+        asymm_vis_dropout=fargs.get("vis_dropout", fargs.get("token_dropout", 0.1)),
+        asymm_lang_dropout=fargs.get("lang_dropout", fargs.get("token_dropout", 0.1)),
         fpn_features=tuple(fusion_cfg.get("fpn_features", (0, 1, 2, 3))),
         patch_h=tuple(fusion_cfg.get("patch_h", (4, 4, 2, 1))),
         patch_w=tuple(fusion_cfg.get("patch_w", (4, 4, 2, 1))),
