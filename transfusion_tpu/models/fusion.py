@@ -124,8 +124,23 @@ class EncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, key_padding_mask=None, attn_mask=None, deterministic=True):
+        # Megatron activation layout under an active {data, model} mesh
+        # (identity otherwise): block IO replicated on 'model', q/k/v
+        # head-sharded, MLP hidden sharded — matching the row/col weight
+        # pairing in parallel.mesh._is_model_shardable so the partitioner
+        # never falls back to replicating the fusion activations (the round-3
+        # "Involuntary full rematerialization" XLA warning).
+        from transfusion_tpu.parallel.mesh import active_mesh, constrain_activation as _csa
+
+        mesh = active_mesh()
+        tp_active = mesh is not None and mesh.shape.get("model", 1) > 1
+        # Constraints are identity unless the model axis is live: the pure-dp
+        # path (the benched single/multi-chip configs) compiles byte-identical.
+        constrain_activation = _csa if tp_active else (lambda t, *spec: t)
+
         b, l, d = x.shape
         head_dim = self.dim // self.num_heads
+        x = constrain_activation(x, "data", None, None)
 
         def proj(name, inp):
             return nn.Dense(self.dim, dtype=self.dtype, name=name)(inp).reshape(b, l, self.num_heads, head_dim)
@@ -135,7 +150,13 @@ class EncoderLayer(nn.Module):
         # big enough to be the wall: at level-1 lengths (~832) the three
         # kernel launches + recompute cost ~18 ms/step while XLA's fused
         # attention is a few ms (profiled), so short sequences keep XLA.
-        if attn_mask is None and self.use_flash and l >= 2048:
+        # Under tensor parallelism (model axis > 1) attention stays on XLA's
+        # path: the Pallas kernel is a single-device program, while XLA
+        # shards the [B,H,L,L] work by the q/k/v head sharding below.
+        q = constrain_activation(q, "data", None, "model", None)
+        k = constrain_activation(k, "data", None, "model", None)
+        v = constrain_activation(v, "data", None, "model", None)
+        if attn_mask is None and self.use_flash and l >= 2048 and not tp_active:
             from transfusion_tpu.ops.attention import flash_attention_train
 
             # Layout-native fused attention: consumes the projections'
@@ -166,13 +187,16 @@ class EncoderLayer(nn.Module):
         attn_out = nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(ctx)
         attn_out = nn.Dropout(self.dropout, deterministic=deterministic)(attn_out)
         x = nn.LayerNorm(name="norm1")(x + attn_out)
+        x = constrain_activation(x, "data", None, None)
 
         h = nn.Dense(int(self.dim * self.ff_multiplier), dtype=self.dtype, name="linear1")(x)
+        h = constrain_activation(h, "data", None, "model")
         h = nn.gelu(h, approximate=False) if self.activation == "gelu" else nn.relu(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.Dense(self.dim, dtype=self.dtype, name="linear2")(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        return nn.LayerNorm(name="norm2")(x + h)
+        out = nn.LayerNorm(name="norm2")(x + h)
+        return constrain_activation(out, "data", None, None)
 
 
 @dataclass(frozen=True)
@@ -273,8 +297,18 @@ class CrossFusionLevel(nn.Module):
         # RegroupPatchesLayerBox: dropout -> linear -> fold (utils.py:84-119).
         vis_out = nn.Dropout(cfg.backproj_dropout, deterministic=deterministic)(vis_out)
         vis_out = nn.Dense(ph * pw * self.out_channels, dtype=self.dtype, name="back_proj")(vis_out)
+        # Pin the fold/transpose input to batch-only sharding (identity with
+        # no mesh): back_proj's kernel is row-sharded under tp and ZeRO-3
+        # sharded under fsdp, and without this anchor XLA propagates the
+        # WEIGHT sharding into the activation's channel dim, then hits
+        # "Involuntary full rematerialization" re-sharding the 6-dim
+        # transpose below (the round-3 dryrun tail warning).
+        from transfusion_tpu.parallel.mesh import constrain_activation
+
+        vis_out = constrain_activation(vis_out, "data", None, None)
         fused = vis_out.reshape(b, gh, gw, ph, pw, self.out_channels)
         fused = fused.transpose(0, 1, 3, 2, 4, 5).reshape(b, gh * ph, gw * pw, self.out_channels)
+        fused = constrain_activation(fused, "data", None, None, None)
         if (gh * ph, gw * pw) != (h, w):
             # Feature maps whose sides aren't patch multiples keep their tail
             # unfused; pad back (reference sizes are always multiples).
