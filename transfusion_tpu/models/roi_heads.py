@@ -244,7 +244,15 @@ def postprocess_detections(
     )
 
     t = cfg.pre_nms_candidates
+    # Exactness diagnostic: how many above-threshold candidates the cap
+    # dropped. The capped NMS is exact unless BOTH (a) pre_nms_missed > 0 and
+    # (b) the keep cap stays unfilled (see RoIConfig.pre_nms_candidates);
+    # callers (trainer.evaluate) log when that regime is entered, and the
+    # deviation is bounded by pre_nms_missed extra detections (all scored
+    # below every kept one).
+    pre_nms_missed = jnp.zeros((bsz,), jnp.int32)
     if t and t < cand_scores.shape[1]:
+        pre_nms_missed = jnp.maximum(valid.sum(axis=1).astype(jnp.int32) - t, 0)
         # Top-T by score before NMS (see RoIConfig.pre_nms_candidates for the
         # exactness argument). top_k's descending order also feeds NMS an
         # already-sorted list.
@@ -312,4 +320,7 @@ def postprocess_detections(
         "ttcs": jnp.where(keep_valid, det_ttcs, 0.0),
         "prop_idx": det_prop,
         "valid": keep_valid,
+        # Per-image count of above-threshold candidates the pre-NMS cap
+        # dropped (0 = exactness precondition (a) holds; see above).
+        "pre_nms_missed": pre_nms_missed,
     }
