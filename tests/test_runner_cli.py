@@ -282,6 +282,7 @@ def _run_cli_driver(cli_env, run_dir):
     assert proc.returncode == 0, proc.stdout[-2000:] + proc.stderr[-2000:]
 
 
+@pytest.mark.slow
 def test_cli_train_val_export_resume(cli_env):
     run_dir = os.path.join(cli_env["RUNS"], "itest")
     _run_cli_driver(cli_env, run_dir)

@@ -126,6 +126,12 @@ def main(argv=None):
     run_dir = make_run_dir(config["experiment"], args.run_dir)
     with open(os.path.join(run_dir, "config.json"), "w") as fp:
         json.dump(dict(config), fp, default=str, indent=1)
+    # ${run_dir}/run.log mirrors everything the root logger emits (the
+    # reference's get_logger file handler, runner/utils/cfg_utils.py:20-34):
+    # a killed terminal keeps the log history.jsonl doesn't carry.
+    fh = logging.FileHandler(os.path.join(run_dir, "run.log"))
+    fh.setFormatter(logging.Formatter("%(asctime)s %(name)s %(message)s"))
+    logging.getLogger().addHandler(fh)
     logging.info("run dir: %s", run_dir)
 
     wb = maybe_wandb(config, args)

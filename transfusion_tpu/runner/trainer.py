@@ -540,6 +540,19 @@ class EgoNaoTrainer:
                     "(a download); provide a translated checkpoint path instead "
                     "(tools/translate_checkpoint). Training from random init."
                 )
+            if not pretrained and not self.model_cfg.detector.trainable_bn:
+                # Measured failure mode (round-4 overfit probe): FrozenBN is an
+                # identity affine at random init, so the trunk is unnormalized —
+                # RPN logits/deltas reach O(100) and the L1-family detector
+                # losses then close that gap at ~lr per step (RPN box loss
+                # plateaus, proposals never converge). FrozenBN only makes
+                # sense over pretrained statistics.
+                log.warning(
+                    "training from RANDOM init with frozen BatchNorm: the trunk "
+                    "is unnormalized and detector losses converge pathologically "
+                    "slowly. Set model.batch_norm.use: True (trainable BN) or "
+                    "provide model.pretrained."
+                )
         if resume_from:
             self._check_tokenizer_provenance(resume_from)
             fresh = self.state.params
@@ -745,6 +758,7 @@ class EgoNaoTrainer:
         results: dict = {}
         bucket = self.aug.eval_bucket()
         first_plot = None
+        cap_inexact_images = 0  # pre-NMS cap exactness diagnostic (roi_heads)
         with self.mesh:
             for batch in loader:
                 db = self._device_batch(batch, with_targets=True)
@@ -753,6 +767,13 @@ class EgoNaoTrainer:
                     self.state.batch_stats,
                 )
                 dets = jax.device_get(dets)
+                if "pre_nms_missed" in dets:
+                    # The cap is exact unless candidates were dropped AND the
+                    # keep cap stayed unfilled (RoIConfig.pre_nms_candidates).
+                    kept = dets["valid"].sum(axis=1)
+                    cap_inexact_images += int(
+                        ((dets["pre_nms_missed"] > 0) & (kept < dets["valid"].shape[1])).sum()
+                    )
                 for k, v in losses.items():
                     loss_agg[k] = loss_agg.get(k, 0.0) + float(v)
                 loss_batches += 1
@@ -798,7 +819,13 @@ class EgoNaoTrainer:
                 )
 
         loader.close()
-        # Cross-host fusion: every host gathers every shard's (preds, labels)
+        if cap_inexact_images:
+            log.warning(
+                "pre-NMS candidate cap exactness precondition broke on %d image(s) "
+                "(above-threshold candidates dropped while the keep cap was "
+                "unfilled); raise RoIConfig.pre_nms_candidates to make the "
+                "postprocess exact", cap_inexact_images,
+            )
         # and result entries, so the logged metric is exact and process 0
         # writes the FULL prediction JSON — the fix for the caveat the
         # reference only documents (README.md:59 partial per-rank metrics).
@@ -816,9 +843,12 @@ class EgoNaoTrainer:
             metrics[f"{source}_{k}"] = v / max(loss_batches, 1)
         log.info("epoch %d %s: %s", epoch, source, {k: round(v, 3) for k, v in metrics.items()})
 
+        self.last_plot_path = None
         if first_plot is not None:
             try:
-                self.plotter(source, epoch, first_plot[0], first_plot[1])
+                # Path kept for fit() to mirror into wandb (the reference logs
+                # the GT-vs-prediction grids per epoch, callbacks.py:276-329).
+                self.last_plot_path = self.plotter(source, epoch, first_plot[0], first_plot[1])
             except Exception as e:  # plotting must never break eval
                 log.warning("plot callback failed: %s", e)
 
@@ -913,6 +943,12 @@ class EgoNaoTrainer:
                 fp.write(json.dumps(record) + "\n")
             if wandb_run is not None and self._process_index() == 0:
                 wandb_run.log(record, step=epoch)
+                plot = getattr(self, "last_plot_path", None)
+                if result is not None and plot and os.path.isfile(plot) and \
+                        hasattr(wandb_module, "Image"):
+                    # Mirror the epoch's GT-vs-prediction grid (the reference's
+                    # BboxPlotterCallback wandb images, callbacks.py:276-329).
+                    wandb_run.log({"plots/val": wandb_module.Image(plot)}, step=epoch)
                 if log_checkpoints:
                     self.ckpt.wait()  # orbax saves async; artifact needs files
                     art = wandb_module.Artifact(f"model-{wandb_run.id}", type="model")
