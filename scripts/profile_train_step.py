@@ -77,7 +77,12 @@ def build_and_run(args):
         tx, _ = make_optimizer({"name": "radam", "lr": 1e-4, "weight_decay": 1e-5}, None, 100)
         state = init_state(model, tx, dict(batch, image_hw=(H, W)), jax.random.key(0))
         loss_cfg = LossConfig(rpn_batch_size_per_image=256, last_noun_idx=nn_ - 1)
-        step0 = make_train_step(model, tx, loss_cfg, jnp.ones(nn_), jnp.ones(nv), donate=False)
+        # Match the bench's train program exactly (bench.main_train), else the
+        # profile explains a program nobody ships: bf16 weight grads default ON.
+        step0 = make_train_step(
+            model, tx, loss_cfg, jnp.ones(nn_), jnp.ones(nv), donate=False,
+            bf16_grads=os.environ.get("TRANSFUSION_BF16_GRADS", "1") == "1",
+        )
         lw = jnp.asarray(criterion_weights({"bbox": 1, "obj_prop": 1, "noun": 1, "verb": 1}))
 
         @partial(jax.jit, donate_argnums=(0,))

@@ -131,6 +131,28 @@ def test_fused_pallas_roi_align_grads(rng):
         )
 
 
+def test_fused_pallas_roi_align_bf16_accumulator_grads(rng):
+    """bwd_acc="out" (bf16 RMW accumulator — halves the pyramid-grad HLO
+    temp) stays within bf16 rounding of the exact f32 accumulation path."""
+    feats, rois_b = _pyramid_and_rois(rng)
+    feats = {k: v.astype(jnp.bfloat16) for k, v in feats.items()}
+    cot = jnp.asarray(rng.normal(0, 1, (2, 5, 7, 7, 4)).astype(np.float32))
+
+    def loss(fe, acc):
+        out = multiscale_roi_align(fe, rois_b, (256, 256), impl="pallas", bwd_acc=acc)
+        return (out.astype(jnp.float32) * cot).sum()
+
+    g_f32 = jax.grad(lambda fe: loss(fe, "f32"))(feats)
+    g_out = jax.grad(lambda fe: loss(fe, "out"))(feats)
+    for k in feats:
+        a = np.asarray(g_out[k], np.float32)
+        b = np.asarray(g_f32[k], np.float32)
+        scale = max(np.abs(b).max(), 1e-3)
+        # One extra bf16 rounding per overlapping RoI tile: a few ULPs of the
+        # gradient magnitude, far below the bf16 cast both paths end with.
+        assert np.abs(a - b).max() <= 0.05 * scale
+
+
 def test_cell_anchors_torchvision_values():
     # torchvision base anchors for size 32, ratios (0.5, 1, 2), rounded.
     got = cell_anchors(32, (0.5, 1.0, 2.0))

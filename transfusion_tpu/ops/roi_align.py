@@ -233,7 +233,7 @@ def roi_align(
     return _pooled_xla(feat[None], params, output_size, max_r)[0]
 
 
-@partial(jax.jit, static_argnames=("output_size", "sampling_ratio", "impl"))
+@partial(jax.jit, static_argnames=("output_size", "sampling_ratio", "impl", "bwd_acc"))
 def multiscale_roi_align(
     feats: dict[str, jnp.ndarray],
     rois: jnp.ndarray,
@@ -241,6 +241,7 @@ def multiscale_roi_align(
     output_size: int = 7,
     sampling_ratio: int = 0,
     impl: str | None = None,
+    bwd_acc: str | None = None,
 ) -> jnp.ndarray:
     """Batched multiscale RoIAlign over a packed FPN pyramid.
 
@@ -249,7 +250,9 @@ def multiscale_roi_align(
     rois: [B, R, 4] in image coordinates. Returns [B, R, P, P, C].
 
     impl: "pallas" (fused TPU kernel), "xla", or None = pallas on anything
-    that is not the CPU backend.
+    that is not the CPU backend. bwd_acc ("f32"/"out"/None=env) selects the
+    Pallas backward's pyramid-grad accumulator dtype — static so differing
+    values cannot collide in the jit cache.
     """
     if impl is None:
         import os
@@ -263,6 +266,6 @@ def multiscale_roi_align(
     if impl == "pallas":
         from transfusion_tpu.ops.roi_align_pallas import fused_roi_align
 
-        return fused_roi_align(packed, params, output_size)
+        return fused_roi_align(packed, params, output_size, bwd_acc)
     max_r = max_adaptive_samples(shapes, output_size, sampling_ratio)
     return _pooled_xla(packed, params, output_size, max_r)
