@@ -18,9 +18,11 @@ packed FPN pyramid (HBM) into VMEM (tile-0 windows for the whole RoI block
 are prefetched up front so DMA overlaps compute), builds the combined weight
 matrix W2[p*8+q, h*TILE+w] with two small MXU expansions (no cross-lane
 relayouts), and pools with a single [64, TILE^2] x [TILE^2, C] matmul.
-RoIs larger than one window (extreme-aspect proposals: level assignment is
-by area, span by extent) accumulate over a dynamic grid of window tiles —
-exact for any RoI shape.
+RoIs larger than one window (realistic RPN proposals regularly span 2x1/2x2
+windows at their assigned level; level assignment is by area, span by
+extent) accumulate over a dynamic grid of window tiles, double-buffered
+through two spare VMEM slots so each extra tile costs max(DMA, compute)
+rather than a serialized start->wait chain — exact for any RoI shape.
 
 The backward pass (custom VJP; linear in features, so no residual feature
 read) scatters ``W2^T @ g`` windows back into the pyramid with sequential
@@ -217,22 +219,39 @@ def _fwd_kernel(ints_ref, floats_ref, packed_ref, out_ref, win_ref, sem_ref, *, 
         win2 = win_ref[slot].reshape(TILE * TILE, c)
         return _mm(w2.astype(dt), win2)  # [p_pad^2, C] f32
 
-    spare = blk  # extra buffer for the (rare) multi-tile RoIs
+    # Two spare buffers double-buffer the multi-tile path: realistic RPN
+    # proposals regularly span 2x1/2x2 windows at their assigned level (with
+    # random-init proposals they almost never do — which is why this path
+    # only shows up when profiling CALIBRATED weights: 18.2 vs 7.6 ms/step
+    # at eval B8). Tile t+1's DMA is issued before tile t's weight build and
+    # matmul, so the extra-tile chain costs max(DMA, compute) per tile
+    # instead of their sum. Slot reuse is race-free: compute is in-order
+    # within the kernel, so when iteration t+1 starts the DMA for tile t+2
+    # into slot(t), iteration t's matmul over slot(t) has already executed.
+    slot = lambda t: blk + (t % 2)  # noqa: E731
     for j in range(blk):
         scal = scals[j]
         nty, ntx, cinv = scal[2], scal[3], scal[13]
+        n_tiles = nty * ntx
+
+        @pl.when(n_tiles > 1)
+        def _start_first_extra():
+            window_dma(slot(1), *_tile_origin(spec, scal, jnp.int32(1))).start()
+
         window_dma(j, *origins[j]).wait()
         acc = contribution(j, _combined_weights(spec, scal, *origins[j], False))
 
         def extra_tile(t, acc):
-            gy, gx = _tile_origin(spec, scal, t)
-            dma = window_dma(spare, gy, gx)
-            dma.start()
-            w2 = _combined_weights(spec, scal, gy, gx, False)
-            dma.wait()
-            return acc + contribution(spare, w2)
+            @pl.when(t + 1 < n_tiles)
+            def _start_next():
+                window_dma(slot(t + 1), *_tile_origin(spec, scal, t + 1)).start()
 
-        acc = jax.lax.fori_loop(1, nty * ntx, extra_tile, acc)
+            gy, gx = _tile_origin(spec, scal, t)
+            w2 = _combined_weights(spec, scal, gy, gx, False)
+            window_dma(slot(t), gy, gx).wait()
+            return acc + contribution(slot(t), w2)
+
+        acc = jax.lax.fori_loop(1, n_tiles, extra_tile, acc)
         pooled = (acc * cinv).reshape(spec.p_pad, spec.p_pad, c)
         out_ref[0, j] = pooled[:p, :p].astype(out_ref.dtype)
 
@@ -304,8 +323,8 @@ def _fused_fwd(spec: _Spec, packed, ints, floats):
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, r, spec.p, spec.p, spec.c), packed.dtype),
         scratch_shapes=[
-            pltpu.VMEM((spec.blk + 1, TILE, TILE, spec.c), packed.dtype),
-            pltpu.SemaphoreType.DMA((spec.blk + 1,)),
+            pltpu.VMEM((spec.blk + 2, TILE, TILE, spec.c), packed.dtype),
+            pltpu.SemaphoreType.DMA((spec.blk + 2,)),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
