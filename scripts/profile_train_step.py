@@ -54,9 +54,15 @@ def build_and_run(args):
     if args.eval:
         from transfusion_tpu.models.detector import detections_from_outputs
 
-        params = jax.jit(
-            lambda k: model.init({"params": k}, dict(batch, image_hw=(H, W)), False)
-        )(jax.random.key(0))
+        if args.calib:
+            # Realistic score distributions change the NMS/postprocess cost
+            # (random init underfills the keep caps) — same calibration the
+            # bench uses.
+            params = bench._calibrated_params(model, cfg, batch, args.calib)
+        else:
+            params = jax.jit(
+                lambda k: model.init({"params": k}, dict(batch, image_hw=(H, W)), False)
+            )(jax.random.key(0))
 
         @jax.jit
         def step(params, batch, i):
@@ -170,6 +176,8 @@ def _guess_cat(name: str) -> str:
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--eval", action="store_true")
+    ap.add_argument("--calib", type=int, default=0,
+                    help="on-device calibration train steps before an --eval profile")
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--out", default="/tmp/tf_trace")

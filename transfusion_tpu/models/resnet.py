@@ -138,9 +138,23 @@ class ResNet(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         if self.s2d_stem:
+            import os
+
             b, hh, ww, c = x.shape
-            x = x.reshape(b, hh // 2, 2, ww // 2, 2, c)
-            x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, hh // 2, ww // 2, 4 * c)
+            if os.environ.get("TRANSFUSION_S2D_SLICE", "0") == "1":
+                # Same rearrangement as strided slices + channel concat
+                # (channel order (p, q, c) matches fold_stem_to_s2d) — an
+                # A/B against the 6D reshape/transpose, which XLA lowers to
+                # three physical layout copies (~2.5 ms/step at eval B8).
+                # Measured on-chip it LOSES (85.0 vs 87.1 f/s calibrated
+                # eval): XLA's strided-slice lowering costs more than the
+                # transpose copies. Kept as the documented dead end.
+                x = jnp.concatenate(
+                    [x[:, p::2, q::2, :] for p in (0, 1) for q in (0, 1)], axis=-1
+                )
+            else:
+                x = x.reshape(b, hh // 2, 2, ww // 2, 2, c)
+                x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, hh // 2, ww // 2, 4 * c)
             h = nn.Conv(
                 64, (4, 4), strides=(1, 1), padding=((2, 1), (2, 1)),
                 use_bias=False, dtype=self.dtype, name="stem_s2d",

@@ -36,12 +36,14 @@ def _attn_kernel(mask_ref, q_ref, k_ref, v_ref, o_ref, *, scale: float):
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     denom = jnp.sum(p, axis=-1, keepdims=True)
-    p = p / denom
     o = jax.lax.dot_general(
         p.astype(v_ref.dtype), v_ref[:], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    o_ref[:] = o.astype(o_ref.dtype)
+    # Normalize the [BQ, D] output instead of the [BQ, N] probabilities —
+    # the row-scalar divide commutes with the row-sum matmul, saving a
+    # full-row VPU pass per block.
+    o_ref[:] = (o / denom).astype(o_ref.dtype)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -233,14 +235,17 @@ def _fwd_kernel(seed_ref, bias_ref, q_ref, k_ref, v_ref, o_ref, lse_ref,
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
-    p = p / l
     if rate > 0.0:
         cell = bi * pl.num_programs(1) + hi
         keep = _dropout_keep_mask(*p.shape, qi * block_q, 0, seed_ref[0, 0], cell, rate)
         p = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - rate))
     o = jax.lax.dot_general(p.astype(v_ref.dtype), v_ref[:], (((1,), (0,)), ((), ())),
                             preferred_element_type=jnp.float32)
-    o_ref[:] = o.astype(o_ref.dtype)
+    # Normalize the [BQ, D] output instead of the [BQ, N] probabilities (the
+    # per-row 1/l commutes with the dropout mask and the row-sum matmul) —
+    # saves a full-row VPU pass; the backward reconstructs p from the stored
+    # (m, l) stats either way.
+    o_ref[:] = (o / l).astype(o_ref.dtype)
     lane = jax.lax.broadcasted_iota(jnp.int32, (p.shape[0], 128), 1)
     lse_ref[:] = jnp.where(lane < 32, m, l)
 

@@ -45,13 +45,13 @@ from jax.experimental.pallas import tpu as pltpu
 # Window tile edge. The kernel is DMA-bound at eval RoI counts (a TILE^2 x C
 # bf16 window per RoI tile). The canonical FPN level mapping sizes RoIs to
 # ~14-28 px at their assigned level, so TILE=16 halves average bytes moved —
-# but measured end-to-end it LOSES (78.6 vs 83.0 f/s eval at flagship
-# shapes): RoIs spanning >16 px become 2x2-tile and the extra tiles' DMAs
-# issue start->wait inline (latency-serialized), outweighing the byte
-# savings. 32 covers nearly every RoI in the one prefetched window.
-# Supported values: 16 and 32 (both parity+grad tested; 24 fails the
-# CPU-interpret parity test — non-power-of-two tiles interact with the
-# 8-aligned window origins).
+# but measured end-to-end it LOSES even with the double-buffered extra-tile
+# pipeline (85.4 vs 87.1 f/s calibrated eval; 78.6 vs 83.0 in the round-3
+# serialized-extras kernel): most RoIs become 2x2-tile and the 4x per-tile
+# weight builds + matmuls outweigh the byte savings. 32 covers typical RoIs
+# in the one prefetched window. Supported values: 16 and 32 (both
+# parity+grad tested; 24 fails the CPU-interpret parity test —
+# non-power-of-two tiles interact with the 8-aligned window origins).
 import os as _os
 
 TILE = int(_os.environ.get("TRANSFUSION_ROIALIGN_TILE", "32"))
