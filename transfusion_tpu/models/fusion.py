@@ -186,7 +186,7 @@ class EncoderLayer(nn.Module):
             ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, l, d)
         attn_out = nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(ctx)
         attn_out = nn.Dropout(self.dropout, deterministic=deterministic)(attn_out)
-        x = nn.LayerNorm(name="norm1")(x + attn_out)
+        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x + attn_out)
         x = constrain_activation(x, "data", None, None)
 
         h = nn.Dense(int(self.dim * self.ff_multiplier), dtype=self.dtype, name="linear1")(x)
@@ -195,7 +195,7 @@ class EncoderLayer(nn.Module):
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.Dense(self.dim, dtype=self.dtype, name="linear2")(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        out = nn.LayerNorm(name="norm2")(x + h)
+        out = nn.LayerNorm(dtype=self.dtype, name="norm2")(x + h)
         return constrain_activation(out, "data", None, None)
 
 
@@ -292,7 +292,7 @@ class CrossFusionLevel(nn.Module):
         vis_out = x[:, :n]
         lang_out = x[:, n:]
         if cfg.final_norm == "ln":
-            vis_out = nn.LayerNorm(name="final_norm")(vis_out)
+            vis_out = nn.LayerNorm(dtype=self.dtype, name="final_norm")(vis_out)
 
         # RegroupPatchesLayerBox: dropout -> linear -> fold (utils.py:84-119).
         vis_out = nn.Dropout(cfg.backproj_dropout, deterministic=deterministic)(vis_out)
@@ -334,7 +334,7 @@ class PoolPredictor(nn.Module):
             x = x * lang_mask[..., None].astype(x.dtype)
         feats = jnp.max(x, axis=1) if self.pooling == "max" else jnp.mean(x, axis=1)
         if self.use_ln:
-            feats = nn.LayerNorm(name="ln")(feats)
+            feats = nn.LayerNorm(dtype=self.dtype, name="ln")(feats)
         noun_logits = nn.Dense(self.num_nouns, dtype=self.dtype, name="mlp_noun")(feats)
         verb_logits = (
             nn.Dense(self.num_verbs, dtype=self.dtype, name="mlp_verb")(feats)

@@ -60,13 +60,13 @@ class QKVEncoderLayer(nn.Module):
         probs = nn.Dropout(self.dropout, deterministic=deterministic)(probs)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, lq, d)
         attn = nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(ctx)
-        x = nn.LayerNorm(name="norm1")(q_in + nn.Dropout(self.dropout, deterministic=deterministic)(attn))
+        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(q_in + nn.Dropout(self.dropout, deterministic=deterministic)(attn))
 
         h = nn.Dense(int(self.dim * self.ff_multiplier), dtype=self.dtype, name="linear1")(x)
         h = nn.gelu(h, approximate=False) if self.activation == "gelu" else nn.relu(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.Dense(self.dim, dtype=self.dtype, name="linear2")(h)
-        return nn.LayerNorm(name="norm2")(x + nn.Dropout(self.dropout, deterministic=deterministic)(h))
+        return nn.LayerNorm(dtype=self.dtype, name="norm2")(x + nn.Dropout(self.dropout, deterministic=deterministic)(h))
 
 
 @dataclass(frozen=True)
@@ -256,7 +256,7 @@ class SpaceTimeFusionModule(nn.Module):
                 self.activation, self.dtype, name=f"layer_{i}",
             )(x, deterministic=deterministic)
         if self.final_norm == "ln":
-            x = nn.LayerNorm(name="final_norm")(x)
+            x = nn.LayerNorm(dtype=self.dtype, name="final_norm")(x)
         return x
 
 

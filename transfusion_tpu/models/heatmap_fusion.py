@@ -269,7 +269,7 @@ class HeatmapCrossFusion(nn.Module):
             cdim = int(cfg.class_upscale * cfg.token_dim)
             cls_f = nn.Dense(cdim, dtype=cfg.dtype, name="class_post_linear")(cls_f)
             cls_f = nn.gelu(cls_f, approximate=False)
-            cls_f = nn.LayerNorm(name="class_post_ln")(cls_f)
+            cls_f = nn.LayerNorm(dtype=cfg.dtype, name="class_post_ln")(cls_f)
 
         noun_logits = _head(cls_f, cfg.noun_classes, cfg.class_dropout, deterministic,
                             "noun_classifier", dtype=cfg.dtype) if cfg.noun_classes else None

@@ -52,7 +52,7 @@ class GPT2Block(nn.Module):
         b, l, d = x.shape
         head_dim = d // c.num_heads
 
-        h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="ln_1")(x)
+        h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="ln_1")(x)
         qkv = nn.Dense(3 * d, dtype=self.dtype, name="c_attn")(h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
@@ -70,7 +70,7 @@ class GPT2Block(nn.Module):
         attn = nn.Dense(d, dtype=self.dtype, name="c_proj")(ctx)
         x = x + nn.Dropout(c.dropout, deterministic=deterministic)(attn)
 
-        h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="ln_2")(x)
+        h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="ln_2")(x)
         h = nn.Dense(4 * d, dtype=self.dtype, name="mlp_fc")(h)
         h = gelu_new(h)
         h = nn.Dense(d, dtype=self.dtype, name="mlp_proj")(h)
@@ -91,7 +91,7 @@ class GPT2Encoder(nn.Module):
         h = nn.Dropout(c.dropout, deterministic=deterministic)(h)
         for i in range(c.num_layers):
             h = GPT2Block(c, self.dtype, name=f"h_{i}")(h, attention_mask, deterministic)
-        return nn.LayerNorm(epsilon=c.layer_norm_eps, name="ln_f")(h)
+        return nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="ln_f")(h)
 
 
 # ----------------------------------------------------------------------- T5

@@ -76,13 +76,13 @@ class BertLayer(nn.Module):
         c = self.cfg
         attn = BertSelfAttention(c, self.dtype, name="attention")(hidden, mask, deterministic)
         attn = nn.Dropout(c.dropout, deterministic=deterministic)(attn)
-        hidden = nn.LayerNorm(epsilon=c.layer_norm_eps, name="attention_norm")(hidden + attn)
+        hidden = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="attention_norm")(hidden + attn)
 
         inter = nn.Dense(c.intermediate_size, dtype=self.dtype, name="intermediate")(hidden)
         inter = nn.gelu(inter, approximate=False)
         out = nn.Dense(c.hidden_size, dtype=self.dtype, name="output")(inter)
         out = nn.Dropout(c.dropout, deterministic=deterministic)(out)
-        return nn.LayerNorm(epsilon=c.layer_norm_eps, name="output_norm")(hidden + out)
+        return nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="output_norm")(hidden + out)
 
 
 class BertEncoder(nn.Module):
@@ -101,7 +101,7 @@ class BertEncoder(nn.Module):
         )[:l]
         typ = self.param("token_type_embeddings", nn.initializers.normal(0.02), (c.type_vocab_size, c.hidden_size))[0]
         h = word + pos[None] + typ[None, None]
-        h = nn.LayerNorm(epsilon=c.layer_norm_eps, name="embeddings_norm")(h)
+        h = nn.LayerNorm(epsilon=c.layer_norm_eps, dtype=self.dtype, name="embeddings_norm")(h)
         h = nn.Dropout(c.dropout, deterministic=deterministic)(h)
         for i in range(c.num_layers):
             h = BertLayer(c, self.dtype, name=f"layer_{i}")(h, attention_mask, deterministic)
