@@ -115,6 +115,69 @@ def test_fused_pallas_roi_align_parity(rng):
             np.testing.assert_allclose(out[b, i], ref[0], rtol=1e-4, atol=1e-5)
 
 
+def test_fused_pallas_roi_align_clamped_multitile_parity(rng):
+    """Multi-tile RoIs hugging the packed-pyramid edge: the window-origin
+    clamp shifts the last tile back over cells the previous tile already
+    covered, and the weight build must zero those duplicate cells
+    (regression: double-counted overlap, rel err ~0.6, round 5)."""
+    feats = {
+        k: jnp.asarray(rng.normal(0, 1, (1, s, s, 4)).astype(np.float32))
+        for k, s in zip("0123", (96, 48, 24, 12))
+    }
+    rois = np.array(
+        [
+            [90.0, 40.0, 370.0, 52.0],    # x-span 22..92 at level 0: clamped x tile
+            [40.0, 90.0, 52.0, 370.0],    # y version
+            [300.0, 300.0, 383.0, 383.0],  # bottom-right corner
+        ],
+        np.float32,
+    )
+    rois_b = jnp.asarray(rois)[None]
+    out = np.asarray(multiscale_roi_align(feats, rois_b, (384, 384), impl="pallas"))
+    lvs = np.asarray(fpn_levels(rois_b[0]))
+    for i in range(len(rois)):
+        lv = int(lvs[i])
+        ref = roi_align_oracle(
+            np.asarray(feats[str(lv)][0]), rois[i : i + 1], (96 >> lv) / 384, ratio=0
+        )
+        np.testing.assert_allclose(out[0, i], ref[0], rtol=1e-4, atol=1e-5)
+    cot = jnp.asarray(rng.normal(0, 1, (1, 3, 7, 7, 4)).astype(np.float32))
+
+    def loss(fe, impl):
+        return (multiscale_roi_align(fe, rois_b, (384, 384), impl=impl) * cot).sum()
+
+    g_xla = jax.grad(lambda fe: loss(fe, "xla"))(feats)
+    g_pal = jax.grad(lambda fe: loss(fe, "pallas"))(feats)
+    for k in feats:
+        np.testing.assert_allclose(
+            np.asarray(g_pal[k]), np.asarray(g_xla[k]), rtol=1e-4, atol=1e-5
+        )
+
+
+def test_fused_pallas_roi_align_asymmetric_tiles(rng):
+    """Asymmetric TY x TX window tiles (the DMA-byte lever for narrow RoIs)
+    keep exact parity, forward and backward, including at clamped edges."""
+    feats, rois_b = _pyramid_and_rois(rng)
+    cot = jnp.asarray(rng.normal(0, 1, (2, 5, 7, 7, 4)).astype(np.float32))
+
+    def loss(fe, impl, tile=None):
+        out = multiscale_roi_align(fe, rois_b, (256, 256), impl=impl, tile=tile)
+        return (out * cot).sum()
+
+    ref = np.asarray(multiscale_roi_align(feats, rois_b, (256, 256), impl="xla"))
+    g_xla = jax.grad(lambda fe: loss(fe, "xla"))(feats)
+    for tile in [(32, 16), (16, 32)]:
+        out = np.asarray(
+            multiscale_roi_align(feats, rois_b, (256, 256), impl="pallas", tile=tile)
+        )
+        np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+        g_pal = jax.grad(lambda fe: loss(fe, "pallas", tile))(feats)
+        for k in feats:
+            np.testing.assert_allclose(
+                np.asarray(g_pal[k]), np.asarray(g_xla[k]), rtol=1e-4, atol=1e-5
+            )
+
+
 def test_fused_pallas_roi_align_grads(rng):
     """Custom-VJP backward (RMW window scatter) matches XLA autodiff."""
     feats, rois_b = _pyramid_and_rois(rng)

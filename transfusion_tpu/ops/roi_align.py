@@ -233,7 +233,10 @@ def roi_align(
     return _pooled_xla(feat[None], params, output_size, max_r)[0]
 
 
-@partial(jax.jit, static_argnames=("output_size", "sampling_ratio", "impl", "bwd_acc"))
+@partial(
+    jax.jit,
+    static_argnames=("output_size", "sampling_ratio", "impl", "bwd_acc", "tile"),
+)
 def multiscale_roi_align(
     feats: dict[str, jnp.ndarray],
     rois: jnp.ndarray,
@@ -242,6 +245,7 @@ def multiscale_roi_align(
     sampling_ratio: int = 0,
     impl: str | None = None,
     bwd_acc: str | None = None,
+    tile: tuple[int, int] | None = None,
 ) -> jnp.ndarray:
     """Batched multiscale RoIAlign over a packed FPN pyramid.
 
@@ -266,6 +270,6 @@ def multiscale_roi_align(
     if impl == "pallas":
         from transfusion_tpu.ops.roi_align_pallas import fused_roi_align
 
-        return fused_roi_align(packed, params, output_size, bwd_acc)
+        return fused_roi_align(packed, params, output_size, bwd_acc, tile)
     max_r = max_adaptive_samples(shapes, output_size, sampling_ratio)
     return _pooled_xla(packed, params, output_size, max_r)

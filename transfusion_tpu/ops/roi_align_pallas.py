@@ -13,11 +13,11 @@ weight matrix depending only on the RoI's coordinates. detectron2's adaptive
 therefore changes only the weight construction — a few hundred VPU ops —
 while bytes moved and MXU FLOPs stay fixed per RoI.
 
-Per grid step the kernel DMAs a TILE x TILE x C window per RoI from the
+Per grid step the kernel DMAs a TY x TX x C window per RoI from the
 packed FPN pyramid (HBM) into VMEM (tile-0 windows for the whole RoI block
 are prefetched up front so DMA overlaps compute), builds the combined weight
-matrix W2[p*8+q, h*TILE+w] with two small MXU expansions (no cross-lane
-relayouts), and pools with a single [64, TILE^2] x [TILE^2, C] matmul.
+matrix W2[p*8+q, h*TX+w] with two small MXU expansions (no cross-lane
+relayouts), and pools with a single [64, TY*TX] x [TY*TX, C] matmul.
 RoIs larger than one window (realistic RPN proposals regularly span 2x1/2x2
 windows at their assigned level; level assignment is by area, span by
 extent) accumulate over a dynamic grid of window tiles, double-buffered
@@ -42,20 +42,28 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Window tile edge. The kernel is DMA-bound at eval RoI counts (a TILE^2 x C
-# bf16 window per RoI tile). The canonical FPN level mapping sizes RoIs to
-# ~14-28 px at their assigned level, so TILE=16 halves average bytes moved —
-# but measured end-to-end it LOSES even with the double-buffered extra-tile
-# pipeline (85.4 vs 87.1 f/s calibrated eval; 78.6 vs 83.0 in the round-3
-# serialized-extras kernel): most RoIs become 2x2-tile and the 4x per-tile
-# weight builds + matmuls outweigh the byte savings. 32 covers typical RoIs
-# in the one prefetched window. Supported values: 16 and 32 (both
-# parity+grad tested; 24 fails the CPU-interpret parity test —
-# non-power-of-two tiles interact with the 8-aligned window origins).
-import os as _os
-
-TILE = int(_os.environ.get("TRANSFUSION_ROIALIGN_TILE", "32"))
+# Window tile edges (rows x cols). The kernel is DMA-bound at eval RoI counts
+# (a TY x TX x C bf16 window per RoI tile). The canonical FPN level mapping
+# sizes RoIs to ~14-28 px at their assigned level, so TILE=16 halves average
+# bytes moved — but measured end-to-end symmetric 16 LOSES even with the
+# double-buffered extra-tile pipeline (85.4 vs 87.1 f/s calibrated eval):
+# most RoIs become 2x2-tile and the 4x per-tile weight builds + matmuls
+# outweigh the byte savings. 32x32 covers typical RoIs in the one prefetched
+# window. TRANSFUSION_ROIALIGN_TILE accepts "N" (symmetric) or "TYxTX"
+# (asymmetric, e.g. "32x16": at most 2x tiles for wide RoIs while halving
+# bytes for narrow ones). TX must be a multiple of 8 (the packed pyramid's
+# W axis is the sublane-tiled dim); power-of-two edges only — 24 fails the
+# CPU-interpret parity test (non-power-of-two tiles interact with the
+# 8-aligned window origins).
 _CHUNK = 8  # samples evaluated per weight-build loop iteration
+
+
+def _tile_env() -> tuple[int, int]:
+    import os
+
+    raw = os.environ.get("TRANSFUSION_ROIALIGN_TILE", "32").lower()
+    ty, _, tx = raw.partition("x")
+    return int(ty), int(tx or ty)
 
 
 class _Spec(NamedTuple):
@@ -63,27 +71,32 @@ class _Spec(NamedTuple):
     p_pad: int    # p rounded up to 8 sublanes
     c: int        # padded channel count
     blk: int      # RoIs per grid step
-    h_tot: int    # packed pyramid rows (padded >= TILE)
-    w_tot: int    # packed pyramid cols (padded >= TILE)
+    h_tot: int    # packed pyramid rows (padded >= ty)
+    w_tot: int    # packed pyramid cols (padded >= tx)
     bsz: int
     dtype: str    # packed pyramid dtype name
     interpret: bool
     bwd_acc: str = "float32"  # backward pyramid-grad accumulator dtype
+    ty: int = 32  # window tile rows
+    tx: int = 32  # window tile cols (multiple of 8)
 
 
 def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
-def _axis_weights(spec: _Spec, origin_rel, a1, bin_sz, r_cnt, lim):
-    """Summed tent weights of all bin samples onto TILE consecutive cells.
+def _axis_weights(spec: _Spec, origin_rel, a1, bin_sz, r_cnt, lim, dup, tile):
+    """Summed tent weights of all bin samples onto `tile` consecutive cells.
 
     origin_rel: level-relative coordinate of the window's first cell (f32).
     a1/bin_sz: RoI start / bin size along this axis; r_cnt: samples per bin
-    (int32, 0 => no samples); lim: level extent (f32). Returns
-    [p_pad, TILE] f32, **unnormalized** (caller divides by the sample count).
+    (int32, 0 => no samples); lim: level extent (f32); dup: number of leading
+    window cells already covered by the previous tile (int32 — nonzero only
+    when the window origin was clamped at the packed-pyramid edge; their
+    weights are zeroed so tile coverage stays disjoint). Returns
+    [p_pad, tile] f32, **unnormalized** (caller divides by the sample count).
     """
-    p_pad, tile = spec.p_pad, TILE
+    p_pad = spec.p_pad
     # Mosaic's tpu.iota is integer-only: emit int32 iotas and convert.
     rows = origin_rel + jax.lax.broadcasted_iota(jnp.int32, (1, 1, tile), 2).astype(jnp.float32)
     p_iota = jax.lax.broadcasted_iota(jnp.int32, (p_pad, _CHUNK, 1), 0).astype(jnp.float32)
@@ -105,12 +118,14 @@ def _axis_weights(spec: _Spec, origin_rel, a1, bin_sz, r_cnt, lim):
         return acc + jnp.where(ok, w, 0.0).sum(axis=1)
 
     init = jnp.zeros((p_pad, tile), jnp.float32)
-    return jax.lax.fori_loop(0, n_chunks, body, init)
+    acc = jax.lax.fori_loop(0, n_chunks, body, init)
+    cell = jax.lax.broadcasted_iota(jnp.int32, (p_pad, tile), 1)
+    return jnp.where(cell >= dup, acc, 0.0)
 
 
-def _expanders(p_pad: int):
-    """Expansion matrices lifting Wy/Wx [p_pad, TILE] onto the combined
-    layout W2[m = p*p_pad + q, n = h*TILE + w] via MXU matmuls (avoids
+def _expanders(p_pad: int, ty: int, tx: int):
+    """Expansion matrices lifting Wy/Wx [p_pad, ty|tx] onto the combined
+    layout W2[m = p*p_pad + q, n = h*tx + w] via MXU matmuls (avoids
     cross-lane relayouts from repeat/reshape). Generated with iota compares
     in-kernel (Pallas kernels cannot close over array constants)."""
 
@@ -119,15 +134,15 @@ def _expanders(p_pad: int):
         j = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
         return pred(i, j).astype(jnp.float32)
 
-    p2, t2 = p_pad * p_pad, TILE * TILE
+    p2, t2 = p_pad * p_pad, ty * tx
     e_p = sel(p2, p_pad, lambda i, j: i // p_pad == j)  # [m, p]
     t_q = sel(p2, p_pad, lambda i, j: i % p_pad == j)   # [m, q]
-    r_h = sel(TILE, t2, lambda i, j: j // TILE == i)    # [h, n]
-    t_w = sel(TILE, t2, lambda i, j: j % TILE == i)     # [w, n]
+    r_h = sel(ty, t2, lambda i, j: j // tx == i)        # [h, n]
+    t_w = sel(tx, t2, lambda i, j: j % tx == i)         # [w, n]
     return e_p, t_q, r_h, t_w
 
 
-def _expanders_t(p_pad: int):
+def _expanders_t(p_pad: int, ty: int, tx: int):
     """Transposed-orientation selectors for the backward kernel."""
 
     def sel(rows, cols, pred):
@@ -135,11 +150,11 @@ def _expanders_t(p_pad: int):
         j = jax.lax.broadcasted_iota(jnp.int32, (rows, cols), 1)
         return pred(i, j).astype(jnp.float32)
 
-    p2, t2 = p_pad * p_pad, TILE * TILE
+    p2, t2 = p_pad * p_pad, ty * tx
     e_p = sel(p_pad, p2, lambda i, j: j // p_pad == i)  # [p, m]
     t_q = sel(p_pad, p2, lambda i, j: j % p_pad == i)   # [q, m]
-    r_h = sel(t2, TILE, lambda i, j: i // TILE == j)    # [n, h]
-    t_w = sel(t2, TILE, lambda i, j: i % TILE == j)     # [n, w]
+    r_h = sel(t2, ty, lambda i, j: i // tx == j)        # [n, h]
+    t_w = sel(t2, tx, lambda i, j: i % tx == j)         # [n, w]
     return e_p, t_q, r_h, t_w
 
 
@@ -149,18 +164,19 @@ def _mm(a, b):
     )
 
 
-def _combined_weights(spec: _Spec, scal, gy, gx, transposed: bool):
-    """W2 [p_pad^2, TILE^2] (or its transpose) for one (RoI, window tile)."""
+def _combined_weights(spec: _Spec, scal, origin, transposed: bool):
+    """W2 [p_pad^2, ty*tx] (or its transpose) for one (RoI, window tile)."""
+    gy, gx, dy, dx = origin
     (_, _, _, _, ry, rx, off, y1, x1, bh, bw, hl, wl, _) = scal
-    wy = _axis_weights(spec, (gy - off).astype(jnp.float32), y1, bh, ry, hl)
-    wx = _axis_weights(spec, gx.astype(jnp.float32), x1, bw, rx, wl)
+    wy = _axis_weights(spec, (gy - off).astype(jnp.float32), y1, bh, ry, hl, dy, spec.ty)
+    wx = _axis_weights(spec, gx.astype(jnp.float32), x1, bw, rx, wl, dx, spec.tx)
     if transposed:
-        e_p, t_q, r_h, t_w = _expanders_t(spec.p_pad)
-        w2y = _mm(r_h, _mm(wy.T, e_p))  # [TILE^2, p_pad^2]
+        e_p, t_q, r_h, t_w = _expanders_t(spec.p_pad, spec.ty, spec.tx)
+        w2y = _mm(r_h, _mm(wy.T, e_p))  # [ty*tx, p_pad^2]
         w2x = _mm(t_w, _mm(wx.T, t_q))
     else:
-        e_p, t_q, r_h, t_w = _expanders(spec.p_pad)
-        w2y = _mm(e_p, _mm(wy, r_h))    # [p_pad^2, TILE^2]
+        e_p, t_q, r_h, t_w = _expanders(spec.p_pad, spec.ty, spec.tx)
+        w2y = _mm(e_p, _mm(wy, r_h))    # [p_pad^2, ty*tx]
         w2x = _mm(t_q, _mm(wx, t_w))
     return w2y * w2x
 
@@ -185,15 +201,23 @@ def _read_scalars(ints_ref, floats_ref, j):
 
 
 def _tile_origin(spec: _Spec, scal, t):
+    """Clamped window origin (gy, gx) plus per-axis duplicate-cell counts.
+
+    Clamping at the packed-pyramid edge shifts a tile's window backwards over
+    cells the previous tile already covered; (dy, dx) count those leading
+    cells so the weight build can zero them (disjoint coverage — without the
+    mask a clamped multi-tile RoI double-counts the overlap)."""
     sy, sx, ntx = scal[0], scal[1], scal[3]
     tyi = t // ntx
     txi = t - tyi * ntx
-    gy = jnp.minimum(sy + tyi * TILE, spec.h_tot - TILE)
-    gx = jnp.minimum(sx + txi * TILE, spec.w_tot - TILE)
+    uy = sy + tyi * spec.ty
+    ux = sx + txi * spec.tx
+    gy = jnp.minimum(uy, spec.h_tot - spec.ty)
+    gx = jnp.minimum(ux, spec.w_tot - spec.tx)
     # The packed pyramid's W axis is the sublane-tiled dim (8); sx is
-    # host-aligned to 8, TILE and w_tot are multiples of 8, so gx provably is
+    # host-aligned to 8, tx and w_tot are multiples of 8, so gx provably is
     # too — Mosaic needs the annotation to accept the dynamic memref slice.
-    return gy, pl.multiple_of(gx, 8)
+    return gy, pl.multiple_of(gx, 8), uy - gy, ux - gx
 
 
 def _fwd_kernel(ints_ref, floats_ref, packed_ref, out_ref, win_ref, sem_ref, *, spec: _Spec):
@@ -201,9 +225,9 @@ def _fwd_kernel(ints_ref, floats_ref, packed_ref, out_ref, win_ref, sem_ref, *, 
     blk, c, p = spec.blk, spec.c, spec.p
     dt = packed_ref.dtype
 
-    def window_dma(slot, gy, gx):
+    def window_dma(slot, origin):
         return pltpu.make_async_copy(
-            packed_ref.at[b, pl.ds(gy, TILE), pl.ds(gx, TILE)],
+            packed_ref.at[b, pl.ds(origin[0], spec.ty), pl.ds(origin[1], spec.tx)],
             win_ref.at[slot],
             sem_ref.at[slot],
         )
@@ -213,10 +237,10 @@ def _fwd_kernel(ints_ref, floats_ref, packed_ref, out_ref, win_ref, sem_ref, *, 
     # Prefetch every RoI's first window up-front: the DMA engine streams them
     # while earlier RoIs compute.
     for j in range(blk):
-        window_dma(j, *origins[j]).start()
+        window_dma(j, origins[j]).start()
 
     def contribution(slot, w2):
-        win2 = win_ref[slot].reshape(TILE * TILE, c)
+        win2 = win_ref[slot].reshape(spec.ty * spec.tx, c)
         return _mm(w2.astype(dt), win2)  # [p_pad^2, C] f32
 
     # Two spare buffers double-buffer the multi-tile path: realistic RPN
@@ -236,19 +260,19 @@ def _fwd_kernel(ints_ref, floats_ref, packed_ref, out_ref, win_ref, sem_ref, *, 
 
         @pl.when(n_tiles > 1)
         def _start_first_extra():
-            window_dma(slot(1), *_tile_origin(spec, scal, jnp.int32(1))).start()
+            window_dma(slot(1), _tile_origin(spec, scal, jnp.int32(1))).start()
 
-        window_dma(j, *origins[j]).wait()
-        acc = contribution(j, _combined_weights(spec, scal, *origins[j], False))
+        window_dma(j, origins[j]).wait()
+        acc = contribution(j, _combined_weights(spec, scal, origins[j], False))
 
         def extra_tile(t, acc):
             @pl.when(t + 1 < n_tiles)
             def _start_next():
-                window_dma(slot(t + 1), *_tile_origin(spec, scal, t + 1)).start()
+                window_dma(slot(t + 1), _tile_origin(spec, scal, t + 1)).start()
 
-            gy, gx = _tile_origin(spec, scal, t)
-            w2 = _combined_weights(spec, scal, gy, gx, False)
-            window_dma(slot(t), gy, gx).wait()
+            org = _tile_origin(spec, scal, t)
+            w2 = _combined_weights(spec, scal, org, False)
+            window_dma(slot(t), org).wait()
             return acc + contribution(slot(t), w2)
 
         acc = jax.lax.fori_loop(1, n_tiles, extra_tile, acc)
@@ -275,10 +299,11 @@ def _bwd_kernel(ints_ref, floats_ref, g_ref, zeros_ref, grad_ref, win_ref, sem_r
         )
 
         def rmw_tile(t, _):
-            gy, gx = _tile_origin(spec, scal, t)
-            w2t = _combined_weights(spec, scal, gy, gx, True)  # [TILE^2, p_pad^2]
-            gwin = _mm(w2t, g2).reshape(TILE, TILE, c)  # f32
-            region = grad_ref.at[b, pl.ds(gy, TILE), pl.ds(gx, TILE)]
+            org = _tile_origin(spec, scal, t)
+            gy, gx = org[:2]
+            w2t = _combined_weights(spec, scal, org, True)  # [ty*tx, p_pad^2]
+            gwin = _mm(w2t, g2).reshape(spec.ty, spec.tx, c)  # f32
+            region = grad_ref.at[b, pl.ds(gy, spec.ty), pl.ds(gx, spec.tx)]
             read = pltpu.make_async_copy(region, win_ref, sem_ref)
             read.start()
             read.wait()
@@ -323,7 +348,7 @@ def _fused_fwd(spec: _Spec, packed, ints, floats):
         ),
         out_shape=jax.ShapeDtypeStruct((bsz, r, spec.p, spec.p, spec.c), packed.dtype),
         scratch_shapes=[
-            pltpu.VMEM((spec.blk + 2, TILE, TILE, spec.c), packed.dtype),
+            pltpu.VMEM((spec.blk + 2, spec.ty, spec.tx, spec.c), packed.dtype),
             pltpu.SemaphoreType.DMA((spec.blk + 2,)),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -360,7 +385,7 @@ def _fused_bwd(spec: _Spec, res, g):
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
         out_shape=jax.ShapeDtypeStruct(packed_shape, acc_dt),
         scratch_shapes=[
-            pltpu.VMEM((TILE, TILE, spec.c), acc_dt),
+            pltpu.VMEM((spec.ty, spec.tx, spec.c), acc_dt),
             pltpu.SemaphoreType.DMA(()),
         ],
         input_output_aliases={3: 0},
@@ -380,12 +405,20 @@ def _fused_bwd(spec: _Spec, res, g):
 _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
-def fused_roi_align(packed, params, output_size: int = 7, bwd_acc: str | None = None):
+def fused_roi_align(
+    packed,
+    params,
+    output_size: int = 7,
+    bwd_acc: str | None = None,
+    tile: tuple[int, int] | None = None,
+):
     """Pallas multiscale RoIAlign over a packed pyramid.
 
     packed: [B, H_total, W_max, C]; params: per-RoI dict from
     :func:`transfusion_tpu.ops.roi_align.roi_sample_params`. Returns
-    [B, R, P, P, C] in packed's dtype.
+    [B, R, P, P, C] in packed's dtype. tile: (rows, cols) window tile edges
+    (None reads TRANSFUSION_ROIALIGN_TILE, "N" or "TYxTX"); cols must be a
+    multiple of 8.
 
     bwd_acc selects the backward pyramid-gradient accumulator dtype:
     "f32" (exact RMW accumulation, then one cast to packed's dtype) or
@@ -402,15 +435,18 @@ def fused_roi_align(packed, params, output_size: int = 7, bwd_acc: str | None = 
     p = output_size
     p_pad = _round_up(p, 8)
 
+    ty, tx = tile if tile is not None else _tile_env()
+    if tx % 8:
+        raise ValueError(f"RoIAlign tile cols must be a multiple of 8, got {tx}")
     c_pad = _round_up(c, 128)
     # W is the sublane-tiled dim: pad it to a multiple of 8 so clamped window
-    # origins (w_tot - TILE) stay 8-aligned.
+    # origins (w_tot - tx) stay 8-aligned.
     packed_p = jnp.pad(
         packed,
         (
             (0, 0),
-            (0, max(TILE - ht, 0)),
-            (0, _round_up(max(wt, TILE), 8) - wt),
+            (0, max(ty - ht, 0)),
+            (0, _round_up(max(wt, tx), 8) - wt),
             (0, c_pad - c),
         ),
     )
@@ -432,8 +468,8 @@ def fused_roi_align(packed, params, output_size: int = 7, bwd_acc: str | None = 
     x2 = params["x1"] + params["bw"] * p
     ly = jnp.clip(jnp.floor(y2).astype(jnp.int32) + 1, 0, hl_i - 1)
     lx = jnp.clip(jnp.floor(x2).astype(jnp.int32) + 1, 0, wl_i - 1)
-    nty = jnp.maximum(-(-(ly - ay + 1) // TILE), 1)
-    ntx = jnp.maximum(-(-(lx - ax + 1) // TILE), 1)
+    nty = jnp.maximum(-(-(ly - ay + 1) // ty), 1)
+    ntx = jnp.maximum(-(-(lx - ax + 1) // tx), 1)
 
     ints = jnp.stack(
         [params["off"] + ay, ax, nty, ntx, params["ry"], params["rx"], params["off"],
@@ -466,7 +502,7 @@ def fused_roi_align(packed, params, output_size: int = 7, bwd_acc: str | None = 
         p=p, p_pad=p_pad, c=c_pad, blk=blk, h_tot=h_tot, w_tot=w_tot,
         bsz=bsz, dtype=jnp.dtype(packed.dtype).name,
         interpret=jax.default_backend() == "cpu",
-        bwd_acc=acc_name,
+        bwd_acc=acc_name, ty=ty, tx=tx,
     )
     out = _fused(spec, packed_p, ints, floats)
     return out[:, :r, :, :, :c]
