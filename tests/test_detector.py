@@ -178,6 +178,44 @@ def test_fused_pallas_roi_align_asymmetric_tiles(rng):
             )
 
 
+def test_fused_pallas_roi_align_window_dedup(rng):
+    """Origin-dedup (sort RoIs by tile-0 window origin, share the owner's
+    DMA slot within a block, inverse-gather after pooling) is exact, forward
+    and backward, including clones sharing 8-aligned origins and pad rows."""
+    feats = {
+        k: jnp.asarray(rng.normal(0, 1, (2, s, s, 4)).astype(np.float32))
+        for k, s in zip("0123", (96, 48, 24, 12))
+    }
+    base = np.array(
+        [
+            [90.0, 40.0, 370.0, 52.0],
+            [40.0, 90.0, 52.0, 370.0],
+            [300.0, 300.0, 383.0, 383.0],
+            [0.0, 0.0, 383.0, 383.0],
+            [10.0, 12.0, 100.0, 90.0],
+        ],
+        np.float32,
+    )
+    clones = base[:3] + np.array([[2.0, 1.0, 2.0, 1.0]], np.float32)
+    rois = np.concatenate([base, clones, base[::-1] + 0.5], 0)  # R=13 -> pad 16
+    rois_b = jnp.asarray(np.stack([rois, rois[::-1]]))
+    cot = jnp.asarray(rng.normal(0, 1, (2, len(rois), 7, 7, 4)).astype(np.float32))
+
+    def loss(fe, dedup):
+        out = multiscale_roi_align(fe, rois_b, (384, 384), impl="pallas", dedup=dedup)
+        return (out * cot).sum()
+
+    a = np.asarray(multiscale_roi_align(feats, rois_b, (384, 384), impl="pallas", dedup=False))
+    b = np.asarray(multiscale_roi_align(feats, rois_b, (384, 384), impl="pallas", dedup=True))
+    np.testing.assert_array_equal(a, b)
+    ga = jax.grad(lambda fe: loss(fe, False))(feats)
+    gb = jax.grad(lambda fe: loss(fe, True))(feats)
+    for k in feats:
+        np.testing.assert_allclose(
+            np.asarray(ga[k]), np.asarray(gb[k]), rtol=1e-5, atol=1e-6
+        )
+
+
 def test_fused_pallas_roi_align_grads(rng):
     """Custom-VJP backward (RMW window scatter) matches XLA autodiff."""
     feats, rois_b = _pyramid_and_rois(rng)

@@ -235,7 +235,9 @@ def roi_align(
 
 @partial(
     jax.jit,
-    static_argnames=("output_size", "sampling_ratio", "impl", "bwd_acc", "tile"),
+    static_argnames=(
+        "output_size", "sampling_ratio", "impl", "bwd_acc", "tile", "dedup"
+    ),
 )
 def multiscale_roi_align(
     feats: dict[str, jnp.ndarray],
@@ -246,6 +248,7 @@ def multiscale_roi_align(
     impl: str | None = None,
     bwd_acc: str | None = None,
     tile: tuple[int, int] | None = None,
+    dedup: bool | None = None,
 ) -> jnp.ndarray:
     """Batched multiscale RoIAlign over a packed FPN pyramid.
 
@@ -270,6 +273,6 @@ def multiscale_roi_align(
     if impl == "pallas":
         from transfusion_tpu.ops.roi_align_pallas import fused_roi_align
 
-        return fused_roi_align(packed, params, output_size, bwd_acc, tile)
+        return fused_roi_align(packed, params, output_size, bwd_acc, tile, dedup)
     max_r = max_adaptive_samples(shapes, output_size, sampling_ratio)
     return _pooled_xla(packed, params, output_size, max_r)

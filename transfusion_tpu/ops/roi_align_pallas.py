@@ -200,6 +200,13 @@ def _read_scalars(ints_ref, floats_ref, j):
     )
 
 
+def _read_src_slot(ints_ref, j):
+    """Within-block index of the first RoI sharing this RoI's tile-0 window
+    origin (== j when the RoI owns its own DMA; column 7 is 'j mod blk' when
+    dedup is off)."""
+    return ints_ref[0, j, 7]
+
+
 def _tile_origin(spec: _Spec, scal, t):
     """Clamped window origin (gy, gx) plus per-axis duplicate-cell counts.
 
@@ -234,10 +241,16 @@ def _fwd_kernel(ints_ref, floats_ref, packed_ref, out_ref, win_ref, sem_ref, *, 
 
     scals = [_read_scalars(ints_ref, floats_ref, j) for j in range(blk)]
     origins = [_tile_origin(spec, s, jnp.int32(0)) for s in scals]
-    # Prefetch every RoI's first window up-front: the DMA engine streams them
-    # while earlier RoIs compute.
+    srcs = [_read_src_slot(ints_ref, j) for j in range(blk)]
+    # Prefetch every owned first window up-front: the DMA engine streams them
+    # while earlier RoIs compute. RoIs whose tile-0 origin matches an earlier
+    # RoI in the block (host-sorted by origin when dedup is on) skip the DMA
+    # and pool from the owner's slot instead — clustered proposals share
+    # 8-aligned window origins, so this collapses duplicate window traffic.
     for j in range(blk):
-        window_dma(j, origins[j]).start()
+        @pl.when(srcs[j] == j)
+        def _start_owned():
+            window_dma(j, origins[j]).start()
 
     def contribution(slot, w2):
         win2 = win_ref[slot].reshape(spec.ty * spec.tx, c)
@@ -262,8 +275,13 @@ def _fwd_kernel(ints_ref, floats_ref, packed_ref, out_ref, win_ref, sem_ref, *, 
         def _start_first_extra():
             window_dma(slot(1), _tile_origin(spec, scal, jnp.int32(1))).start()
 
-        window_dma(j, origins[j]).wait()
-        acc = contribution(j, _combined_weights(spec, scal, origins[j], False))
+        @pl.when(srcs[j] == j)
+        def _wait_owned():
+            window_dma(j, origins[j]).wait()
+
+        # Shared slots are safe without a wait: compute is in-order, so the
+        # owner's wait at its own iteration already completed.
+        acc = contribution(srcs[j], _combined_weights(spec, scal, origins[j], False))
 
         def extra_tile(t, acc):
             @pl.when(t + 1 < n_tiles)
@@ -411,6 +429,7 @@ def fused_roi_align(
     output_size: int = 7,
     bwd_acc: str | None = None,
     tile: tuple[int, int] | None = None,
+    dedup: bool | None = None,
 ):
     """Pallas multiscale RoIAlign over a packed pyramid.
 
@@ -418,7 +437,8 @@ def fused_roi_align(
     :func:`transfusion_tpu.ops.roi_align.roi_sample_params`. Returns
     [B, R, P, P, C] in packed's dtype. tile: (rows, cols) window tile edges
     (None reads TRANSFUSION_ROIALIGN_TILE, "N" or "TYxTX"); cols must be a
-    multiple of 8.
+    multiple of 8. dedup: share tile-0 window DMAs between RoIs with equal
+    window origins (sorted adjacency; None reads TRANSFUSION_ROIALIGN_DEDUP).
 
     bwd_acc selects the backward pyramid-gradient accumulator dtype:
     "f32" (exact RMW accumulation, then one cast to packed's dtype) or
@@ -473,7 +493,7 @@ def fused_roi_align(
 
     ints = jnp.stack(
         [params["off"] + ay, ax, nty, ntx, params["ry"], params["rx"], params["off"],
-         jnp.zeros_like(ay)],
+         jnp.zeros_like(ay)],  # col 7 = src slot, filled below
         axis=-1,
     ).astype(jnp.int32)
     floats = jnp.stack(
@@ -491,6 +511,36 @@ def fused_roi_align(
         pad_f = pad_f.at[..., 4:6].set(1.0)  # hl = wl = 1
         floats = jnp.concatenate([floats, pad_f], axis=1)
 
+    # Tile-0 window dedup: sort RoIs by packed-pyramid window origin so RoIs
+    # sharing an (8-aligned) origin sit adjacently, mark each run's first RoI
+    # as the DMA owner (col 7 = within-block src slot), and inverse-gather
+    # the pooled outputs back to input order after the kernel. Clustered
+    # proposals regularly share origins, so the owner's single DMA feeds the
+    # whole run. Runs are cut at block boundaries (slots are per-block).
+    if dedup is None:
+        dedup = os.environ.get("TRANSFUSION_ROIALIGN_DEDUP", "0") == "1"
+    ridx = jnp.arange(r_pad, dtype=jnp.int32)
+    inv = None
+    if dedup:
+        key = ints[..., 0] * jnp.int32(w_tot) + ints[..., 1]
+        order = jnp.argsort(key, axis=1).astype(jnp.int32)
+        ints = jnp.take_along_axis(ints, order[..., None], 1)
+        floats = jnp.take_along_axis(floats, order[..., None], 1)
+        sy, sx = ints[..., 0], ints[..., 1]
+        prev_same = jnp.concatenate(
+            [
+                jnp.zeros((bsz, 1), bool),
+                (sy[:, 1:] == sy[:, :-1]) & (sx[:, 1:] == sx[:, :-1]),
+            ],
+            axis=1,
+        )
+        new_run = (~prev_same) | (ridx % blk == 0)[None]
+        run_start = jax.lax.cummax(jnp.where(new_run, ridx[None], 0), axis=1)
+        ints = ints.at[..., 7].set(run_start % blk)
+        inv = jnp.argsort(order, axis=1)
+    else:
+        ints = ints.at[..., 7].set(jnp.broadcast_to(ridx % blk, ints.shape[:2]))
+
     if bwd_acc is None:
         bwd_acc = os.environ.get("TRANSFUSION_ROI_BWD_ACC", "out")
     acc_name = (
@@ -505,4 +555,6 @@ def fused_roi_align(
         bwd_acc=acc_name, ty=ty, tx=tx,
     )
     out = _fused(spec, packed_p, ints, floats)
+    if inv is not None:
+        out = jnp.take_along_axis(out, inv[..., None, None, None], 1)
     return out[:, :r, :, :, :c]
