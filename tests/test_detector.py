@@ -216,6 +216,19 @@ def test_fused_pallas_roi_align_window_dedup(rng):
         )
 
 
+def test_fused_pallas_roi_align_unbatched_weight_path(rng, monkeypatch):
+    """TRANSFUSION_ROIALIGN_BATCHED_W=0 keeps the per-RoI tile-0 weight
+    build; parity must hold on that path too. (The env knob is read at trace
+    time, so this uses an explicit tile= static arg for a fresh jit key.)"""
+    monkeypatch.setenv("TRANSFUSION_ROIALIGN_BATCHED_W", "0")
+    feats, rois_b = _pyramid_and_rois(rng)
+    out = np.asarray(
+        multiscale_roi_align(feats, rois_b, (256, 256), impl="pallas", tile=(32, 32))
+    )
+    ref = np.asarray(multiscale_roi_align(feats, rois_b, (256, 256), impl="xla"))
+    np.testing.assert_allclose(out, ref, rtol=1e-4, atol=1e-5)
+
+
 def test_fused_pallas_roi_align_grads(rng):
     """Custom-VJP backward (RMW window scatter) matches XLA autodiff."""
     feats, rois_b = _pyramid_and_rois(rng)

@@ -140,6 +140,11 @@ class ResNet(nn.Module):
         if self.s2d_stem:
             import os
 
+            # Cast to compute dtype BEFORE the space-to-depth rearrangement:
+            # XLA lowers the 6D reshape/transpose to physical layout copies,
+            # and the stem conv casts its input anyway — casting first moves
+            # half the bytes through those copies (numerics identical).
+            x = x.astype(self.dtype)
             b, hh, ww, c = x.shape
             if os.environ.get("TRANSFUSION_S2D_SLICE", "0") == "1":
                 # Same rearrangement as strided slices + channel concat

@@ -79,6 +79,7 @@ class _Spec(NamedTuple):
     bwd_acc: str = "float32"  # backward pyramid-grad accumulator dtype
     ty: int = 32  # window tile rows
     tx: int = 32  # window tile cols (multiple of 8)
+    batched_w: bool = True  # batch the tile-0 weight build across the block
 
 
 def _round_up(x: int, m: int) -> int:
@@ -121,6 +122,37 @@ def _axis_weights(spec: _Spec, origin_rel, a1, bin_sz, r_cnt, lim, dup, tile):
     acc = jax.lax.fori_loop(0, n_chunks, body, init)
     cell = jax.lax.broadcasted_iota(jnp.int32, (p_pad, tile), 1)
     return jnp.where(cell >= dup, acc, 0.0)
+
+
+def _axis_weights_all(spec: _Spec, origin_rel, a1, bin_sz, r_cnt, lim, dup, tile, max_chunks):
+    """Batched :func:`_axis_weights` over the whole RoI block (tile 0 only).
+
+    All RoI arguments are [blk, 1, 1, 1] f32 (int-valued ones exact in f32);
+    max_chunks is the block-max chunk count (scalar, from SMEM). One
+    vectorized VPU pass replaces blk unrolled per-RoI tent builds — the
+    weight build measured 1.7 ms of the 16.6 ms standalone kernel call at
+    bench shapes (scripts/probe_roialign.py). Returns [blk, p_pad, tile].
+    """
+    blk, p_pad = spec.blk, spec.p_pad
+    rows = origin_rel + jax.lax.broadcasted_iota(
+        jnp.int32, (1, 1, 1, tile), 3
+    ).astype(jnp.float32)
+    p_iota = jax.lax.broadcasted_iota(jnp.int32, (1, p_pad, _CHUNK, 1), 1).astype(jnp.float32)
+    i_iota = jax.lax.broadcasted_iota(jnp.int32, (1, p_pad, _CHUNK, 1), 2).astype(jnp.float32)
+    r_f = jnp.maximum(r_cnt, 1.0)
+
+    def body(ci, acc):
+        idx = ci.astype(jnp.float32) * _CHUNK + i_iota
+        y = a1 + bin_sz * (p_iota + (idx + 0.5) / r_f)  # [blk, p_pad, CHUNK, 1]
+        ok = (idx < r_cnt) & (p_iota < spec.p) & (y >= -1.0) & (y <= lim)
+        yc = jnp.clip(y, 0.0, lim - 1.0)
+        w = jnp.maximum(0.0, 1.0 - jnp.abs(yc - rows))  # [blk, p_pad, CHUNK, tile]
+        return acc + jnp.where(ok, w, 0.0).sum(axis=2)
+
+    init = jnp.zeros((blk, p_pad, tile), jnp.float32)
+    acc = jax.lax.fori_loop(0, max_chunks, body, init)
+    cell = jax.lax.broadcasted_iota(jnp.int32, (1, 1, tile), 2).astype(jnp.float32)
+    return jnp.where(cell >= dup[:, :, 0], acc, 0.0)
 
 
 def _expanders(p_pad: int, ty: int, tx: int):
@@ -170,6 +202,11 @@ def _combined_weights(spec: _Spec, scal, origin, transposed: bool):
     (_, _, _, _, ry, rx, off, y1, x1, bh, bw, hl, wl, _) = scal
     wy = _axis_weights(spec, (gy - off).astype(jnp.float32), y1, bh, ry, hl, dy, spec.ty)
     wx = _axis_weights(spec, gx.astype(jnp.float32), x1, bw, rx, wl, dx, spec.tx)
+    return _combine(spec, wy, wx, transposed)
+
+
+def _combine(spec: _Spec, wy, wx, transposed: bool):
+    """Lift per-axis weights [p_pad, ty|tx] into the combined W2 matrix."""
     if transposed:
         e_p, t_q, r_h, t_w = _expanders_t(spec.p_pad, spec.ty, spec.tx)
         w2y = _mm(r_h, _mm(wy.T, e_p))  # [ty*tx, p_pad^2]
@@ -227,7 +264,7 @@ def _tile_origin(spec: _Spec, scal, t):
     return gy, pl.multiple_of(gx, 8), uy - gy, ux - gx
 
 
-def _fwd_kernel(ints_ref, floats_ref, packed_ref, out_ref, win_ref, sem_ref, *, spec: _Spec):
+def _fwd_kernel(ints_ref, floats_ref, vec_ref, packed_ref, out_ref, win_ref, sem_ref, *, spec: _Spec):
     b = pl.program_id(0)
     blk, c, p = spec.blk, spec.c, spec.p
     dt = packed_ref.dtype
@@ -256,6 +293,33 @@ def _fwd_kernel(ints_ref, floats_ref, packed_ref, out_ref, win_ref, sem_ref, *, 
         win2 = win_ref[slot].reshape(spec.ty * spec.tx, c)
         return _mm(w2.astype(dt), win2)  # [p_pad^2, C] f32
 
+    if spec.batched_w:
+        # One vectorized tent build for every RoI's tile-0 weights (the
+        # unrolled per-RoI builds cost 1.7 ms of the 16.6 ms standalone call
+        # at bench shapes — scripts/probe_roialign.py). Extra tiles of
+        # multi-tile RoIs (rare) keep the per-RoI path below.
+        v = vec_ref[0]  # [blk, 12] f32: sy sx ry rx off y1 x1 bh bw hl wl -
+        col = lambda k: v[:, k : k + 1].reshape(blk, 1, 1, 1)  # noqa: E731
+        sy_v, sx_v = col(0), col(1)
+        gy_v = jnp.minimum(sy_v, float(spec.h_tot - spec.ty))
+        gx_v = jnp.minimum(sx_v, float(spec.w_tot - spec.tx))
+        mc_y = jnp.int32(0)
+        mc_x = jnp.int32(0)
+        for j in range(blk):
+            mc_y = jnp.maximum(mc_y, pl.cdiv(ints_ref[0, j, 4], _CHUNK))
+            mc_x = jnp.maximum(mc_x, pl.cdiv(ints_ref[0, j, 5], _CHUNK))
+        wy_all = _axis_weights_all(
+            spec, gy_v - col(4), col(5), col(7), col(2), col(9), sy_v - gy_v,
+            spec.ty, mc_y,
+        )
+        wx_all = _axis_weights_all(
+            spec, gx_v, col(6), col(8), col(3), col(10), sx_v - gx_v,
+            spec.tx, mc_x,
+        )
+        w2_tile0 = [_combine(spec, wy_all[j], wx_all[j], False) for j in range(blk)]
+    else:
+        w2_tile0 = None
+
     # Two spare buffers double-buffer the multi-tile path: realistic RPN
     # proposals regularly span 2x1/2x2 windows at their assigned level (with
     # random-init proposals they almost never do — which is why this path
@@ -281,7 +345,12 @@ def _fwd_kernel(ints_ref, floats_ref, packed_ref, out_ref, win_ref, sem_ref, *, 
 
         # Shared slots are safe without a wait: compute is in-order, so the
         # owner's wait at its own iteration already completed.
-        acc = contribution(srcs[j], _combined_weights(spec, scal, origins[j], False))
+        w2_0 = (
+            w2_tile0[j]
+            if w2_tile0 is not None
+            else _combined_weights(spec, scal, origins[j], False)
+        )
+        acc = contribution(srcs[j], w2_0)
 
         def extra_tile(t, acc):
             @pl.when(t + 1 < n_tiles)
@@ -341,11 +410,11 @@ def _bwd_kernel(ints_ref, floats_ref, g_ref, zeros_ref, grad_ref, win_ref, sem_r
 
 
 @partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _fused(spec: _Spec, packed, ints, floats):
-    return _fused_fwd(spec, packed, ints, floats)[0]
+def _fused(spec: _Spec, packed, ints, floats, vec):
+    return _fused_fwd(spec, packed, ints, floats, vec)[0]
 
 
-def _fused_fwd(spec: _Spec, packed, ints, floats):
+def _fused_fwd(spec: _Spec, packed, ints, floats, vec):
     bsz, r = ints.shape[:2]
     grid = (bsz, r // spec.blk)
     smem_block = lambda width: pl.BlockSpec(  # noqa: E731
@@ -357,6 +426,11 @@ def _fused_fwd(spec: _Spec, packed, ints, floats):
         in_specs=[
             smem_block(ints.shape[-1]),
             smem_block(floats.shape[-1]),
+            pl.BlockSpec(
+                (1, spec.blk, vec.shape[-1]),
+                lambda b, rb: (b, rb, 0),
+                memory_space=pltpu.VMEM,
+            ),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=pl.BlockSpec(
@@ -373,12 +447,12 @@ def _fused_fwd(spec: _Spec, packed, ints, floats):
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
         interpret=spec.interpret,
-    )(ints, floats, packed)
-    return out, (ints, floats)
+    )(ints, floats, vec, packed)
+    return out, (ints, floats, vec)
 
 
 def _fused_bwd(spec: _Spec, res, g):
-    ints, floats = res
+    ints, floats, vec = res
     bsz, r = ints.shape[:2]
     packed_shape = (spec.bsz, spec.h_tot, spec.w_tot, spec.c)
     grid = (bsz, r // spec.blk)
@@ -417,6 +491,7 @@ def _fused_bwd(spec: _Spec, res, g):
         grad.astype(spec.dtype),
         np.zeros(ints.shape, jax.dtypes.float0),
         jnp.zeros_like(floats),
+        jnp.zeros_like(vec),
     )
 
 
@@ -548,13 +623,26 @@ def fused_roi_align(
         if bwd_acc == "out"
         else jnp.dtype(jnp.float32).name
     )
+    # Per-RoI parameters as a VMEM vector block for the batched tile-0
+    # weight build (f32 exact for the int-valued columns; values < 2^24):
+    # cols = sy sx ry rx off y1 x1 bh bw hl wl pad.
+    vec = jnp.concatenate(
+        [
+            ints[..., jnp.array([0, 1, 4, 5, 6])].astype(jnp.float32),
+            floats[..., 0:6],
+            jnp.zeros_like(floats[..., :1]),
+        ],
+        axis=-1,
+    )
+
     spec = _Spec(
         p=p, p_pad=p_pad, c=c_pad, blk=blk, h_tot=h_tot, w_tot=w_tot,
         bsz=bsz, dtype=jnp.dtype(packed.dtype).name,
         interpret=jax.default_backend() == "cpu",
         bwd_acc=acc_name, ty=ty, tx=tx,
+        batched_w=os.environ.get("TRANSFUSION_ROIALIGN_BATCHED_W", "1") == "1",
     )
-    out = _fused(spec, packed_p, ints, floats)
+    out = _fused(spec, packed_p, ints, floats, vec)
     if inv is not None:
         out = jnp.take_along_axis(out, inv[..., None, None, None], 1)
     return out[:, :r, :, :, :c]
