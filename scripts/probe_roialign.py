@@ -113,31 +113,14 @@ def main():
     t_noe = run_variant("noexpand")
     rap._combined_weights = orig_cw
 
-    # nomatmul: every _mm returns zeros — isolates the DMA + control floor.
-    orig_mm = rap._mm
-    rap._mm = lambda a, b: jnp.zeros((a.shape[0], b.shape[1]), jnp.float32)
-    t_nomm = run_variant("nomatmul")
-    rap._mm = orig_mm
-
-    # nodma: async copies become no-ops (garbage windows — timing only);
-    # isolates the compute + control floor.
-    class _FakeCopy:
-        def start(self):
-            pass
-
-        def wait(self):
-            pass
-
-    orig_copy = rap.pltpu.make_async_copy
-    rap.pltpu.make_async_copy = lambda *a, **k: _FakeCopy()
-    t_nodma = run_variant("nodma")
-    rap.pltpu.make_async_copy = orig_copy
-
+    # (A fourth variant replacing _mm with constant zeros to split DMA from
+    # the pooling matmul was tried and crashes Mosaic's lowering — constant-
+    # folded matmul results break the kernel's vector layout assignment. The
+    # floor below is therefore DMA + matmul combined.)
     print(
         f"probe: weight-build share {(t_full - t_now) * 1e3:.2f} ms, "
         f"expander share {(t_now - t_noe) * 1e3:.2f} ms, "
-        f"DMA+matmul floor {t_noe * 1e3:.2f} ms "
-        f"(nomatmul {t_nomm * 1e3:.2f}, nodma {t_nodma * 1e3:.2f})",
+        f"DMA+matmul floor {t_noe * 1e3:.2f} ms",
         file=sys.stderr,
     )
 
