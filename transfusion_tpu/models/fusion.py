@@ -29,6 +29,8 @@ import flax.linen as nn
 import jax.numpy as jnp
 import numpy as np
 
+from transfusion_tpu.ops.layer_norm import FusedLayerNorm
+
 MAX_NUM_PATCHES = 8192  # cross_f_box_wrapper.py:21
 
 
@@ -186,7 +188,10 @@ class EncoderLayer(nn.Module):
             ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, l, d)
         attn_out = nn.Dense(self.dim, dtype=self.dtype, name="out_proj")(ctx)
         attn_out = nn.Dropout(self.dropout, deterministic=deterministic)(attn_out)
-        x = nn.LayerNorm(dtype=self.dtype, name="norm1")(x + attn_out)
+        # FusedLayerNorm: MXU row statistics + fused residual add (XLA's
+        # cross-lane LN reductions profiled at 4.3 ms/step on the level-0
+        # stream — ops/layer_norm.py).
+        x = FusedLayerNorm(dtype=self.dtype, name="norm1")(x, residual=attn_out)
         x = constrain_activation(x, "data", None, None)
 
         h = nn.Dense(int(self.dim * self.ff_multiplier), dtype=self.dtype, name="linear1")(x)
@@ -195,7 +200,7 @@ class EncoderLayer(nn.Module):
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.Dense(self.dim, dtype=self.dtype, name="linear2")(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        out = nn.LayerNorm(dtype=self.dtype, name="norm2")(x + h)
+        out = FusedLayerNorm(dtype=self.dtype, name="norm2")(x, residual=h)
         return constrain_activation(out, "data", None, None)
 
 
@@ -292,7 +297,7 @@ class CrossFusionLevel(nn.Module):
         vis_out = x[:, :n]
         lang_out = x[:, n:]
         if cfg.final_norm == "ln":
-            vis_out = nn.LayerNorm(dtype=self.dtype, name="final_norm")(vis_out)
+            vis_out = FusedLayerNorm(dtype=self.dtype, name="final_norm")(vis_out)
 
         # RegroupPatchesLayerBox: dropout -> linear -> fold (utils.py:84-119).
         vis_out = nn.Dropout(cfg.backproj_dropout, deterministic=deterministic)(vis_out)
