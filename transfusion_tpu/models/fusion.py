@@ -191,7 +191,9 @@ class EncoderLayer(nn.Module):
         # FusedLayerNorm: MXU row statistics + fused residual add (XLA's
         # cross-lane LN reductions profiled at 4.3 ms/step on the level-0
         # stream — ops/layer_norm.py).
-        x = FusedLayerNorm(dtype=self.dtype, name="norm1")(x, residual=attn_out)
+        x = FusedLayerNorm(dtype=self.dtype, name="norm1")(
+            x, residual=attn_out, deterministic=deterministic
+        )
         x = constrain_activation(x, "data", None, None)
 
         h = nn.Dense(int(self.dim * self.ff_multiplier), dtype=self.dtype, name="linear1")(x)
@@ -200,7 +202,9 @@ class EncoderLayer(nn.Module):
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
         h = nn.Dense(self.dim, dtype=self.dtype, name="linear2")(h)
         h = nn.Dropout(self.dropout, deterministic=deterministic)(h)
-        out = FusedLayerNorm(dtype=self.dtype, name="norm2")(x, residual=h)
+        out = FusedLayerNorm(dtype=self.dtype, name="norm2")(
+            x, residual=h, deterministic=deterministic
+        )
         return constrain_activation(out, "data", None, None)
 
 
@@ -297,7 +301,9 @@ class CrossFusionLevel(nn.Module):
         vis_out = x[:, :n]
         lang_out = x[:, n:]
         if cfg.final_norm == "ln":
-            vis_out = FusedLayerNorm(dtype=self.dtype, name="final_norm")(vis_out)
+            vis_out = FusedLayerNorm(dtype=self.dtype, name="final_norm")(
+                vis_out, deterministic=deterministic
+            )
 
         # RegroupPatchesLayerBox: dropout -> linear -> fold (utils.py:84-119).
         vis_out = nn.Dropout(cfg.backproj_dropout, deterministic=deterministic)(vis_out)
