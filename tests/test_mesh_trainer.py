@@ -34,8 +34,13 @@ def _one_epoch(cfg_path, tmp_path, data_axis, model_axis):
 
     config = derive_config(load_config(cfg_path), {"debug": False, "resume_from": ""})
     mesh = make_mesh(data=data_axis, model=model_axis)
+    # tp_min_dim=16: the tiny model's fusion matmuls are 64-wide, below the
+    # 256 production gate — lowering it makes --mesh-model exercise the tp
+    # path for real (the trainer ignoring the gate was a latent round-4 gap:
+    # the model axis silently no-opped on small models).
     trainer = EgoNaoTrainer(
-        config, os.path.join(str(tmp_path), f"run_{data_axis}x{model_axis}"), mesh=mesh
+        config, os.path.join(str(tmp_path), f"run_{data_axis}x{model_axis}"), mesh=mesh,
+        tp_min_dim=16,
     )
     trainer.ensure_state()
     return trainer

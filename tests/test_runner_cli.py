@@ -264,6 +264,10 @@ def _run_cli_driver(cli_env, run_dir):
     import subprocess
     import sys
 
+    # The driver subprocess gets the script's dir on sys.path, not pytest's
+    # rootdir — put the repo root on PYTHONPATH so `transfusion_tpu` imports
+    # whether or not the package is pip-installed in the environment.
+    repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     env = dict(
         os.environ,
         CODE=cli_env["CODE"],
@@ -271,6 +275,7 @@ def _run_cli_driver(cli_env, run_dir):
         RUNS=cli_env["RUNS"],
         JAX_PLATFORMS="cpu",
         XLA_FLAGS="--xla_force_host_platform_device_count=8",
+        PYTHONPATH=repo_root + os.pathsep + os.environ.get("PYTHONPATH", ""),
     )
     driver = os.path.join(cli_env["CODE"], "cli_driver.py")
     with open(driver, "w") as fp:

@@ -214,7 +214,7 @@ class EvalResult:
 
 class EgoNaoTrainer:
     def __init__(self, config: dict, run_dir: str, debug: bool = False, mesh=None, seed=None,
-                 fsdp: bool = False):
+                 fsdp: bool = False, tp_min_dim: int | None = None):
         self.config = config
         self.run = config["run"]
         self.run_dir = run_dir
@@ -225,6 +225,14 @@ class EgoNaoTrainer:
         # ZeRO-3-style fully-sharded data parallelism: large params + moments
         # shard over the data axis (see parallel.mesh.param_shardings).
         self.fsdp = fsdp or self.run.get("fsdp", False)
+        # Smallest matmul dim worth splitting over the model axis (the
+        # flagship's fusion dims clear the 256 default; tiny test/dryrun
+        # models lower it so --mesh-model actually exercises the tp path —
+        # without this the model axis silently no-ops on small models).
+        self.tp_min_dim = (
+            tp_min_dim if tp_min_dim is not None
+            else int(self.run.get("tp_min_dim", 256))
+        )
 
         self._build_data()
         self._build_model()
@@ -513,7 +521,7 @@ class EgoNaoTrainer:
             # 'model'; re-initializing the optimizer on the placed params
             # propagates the same shardings into the moments, so the train
             # step is partitioned end-to-end (SURVEY §2.6).
-            p_sh = param_shardings(self.mesh, state.params, fsdp=self.fsdp)
+            p_sh = param_shardings(self.mesh, state.params, fsdp=self.fsdp, tp_min_dim=self.tp_min_dim)
             params = jax.device_put(state.params, p_sh)
             opt_state = jax.jit(
                 self.tx.init,
@@ -616,7 +624,7 @@ class EgoNaoTrainer:
                     rcnn_m[key] = rcnn_f[key]
             log.info("pretrained init: load_fpn_rpn False — fpn/rpn/roi heads stay fresh")
 
-        p_sh = param_shardings(self.mesh, self.state.params, fsdp=self.fsdp)
+        p_sh = param_shardings(self.mesh, self.state.params, fsdp=self.fsdp, tp_min_dim=self.tp_min_dim)
         merged = jax.tree.map(
             lambda new, old: np.asarray(new, dtype=old.dtype), merged, fresh
         )
